@@ -1,0 +1,163 @@
+"""Benchmark: edges/s per chip on batched ZINC-style SignNet+GIN training.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is our TPU edges/s divided by a torch-CPU scatter-based GIN
+training step on identical batches (the PyG-equivalent baseline available in
+this image; target >= 3x, BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+STEPS = 30
+WARMUP = 5
+BATCH_GRAPHS = 128
+HIDDEN = 95
+N_LAYERS = 16
+K = 8
+SIGN_INV_LAYERS = 8
+
+
+def build_batches(num_batches=4, seed=0):
+    from signnet_basisnet_tpu.data import (add_lap_pe, choose_budgets,
+                                           pack_batches, synthetic_zinc)
+    splits = synthetic_zinc(num_train=BATCH_GRAPHS * num_batches,
+                            num_val=8, num_test=8, seed=seed)
+    train = splits["train"]
+    add_lap_pe(train, K)
+    nb, eb, gb_ = choose_budgets(train, BATCH_GRAPHS)
+    batches = pack_batches(train, nb, eb, gb_, k=K)
+    return batches
+
+
+def bench_tpu(batches):
+    import jax
+    import jax.numpy as jnp
+    from signnet_basisnet_tpu.graph import from_arrays
+    from signnet_basisnet_tpu.models import GINNet
+    from signnet_basisnet_tpu.training import (adam, build_steps, create_state,
+                                               make_zinc_predict)
+
+    gbs = [from_arrays(b) for b in batches]
+    model = GINNet(hidden_dim=HIDDEN, out_dim=HIDDEN, n_layers=N_LAYERS,
+                   pos_enc_dim=K, lap_method="sign_inv",
+                   sign_inv_layers=SIGN_INV_LAYERS, phi_out_dim=4,
+                   batch_norm=True, dropout=0.0)
+    tx = adam()
+    state = create_state(model, gbs[0], tx,
+                         model_kwargs={"pos_enc": gbs[0].eigvecs})
+    predict = make_zinc_predict(model, lap_method="sign_inv")
+    train_step, _ = build_steps(predict, tx, donate=False)
+
+    lr = jnp.float32(1e-3)
+    rng = jax.random.PRNGKey(0)
+    # warmup/compile
+    for i in range(WARMUP):
+        state, m = train_step(state, gbs[i % len(gbs)], lr, rng)
+    jax.block_until_ready(m["loss"])
+
+    edges = 0.0
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        gb = gbs[i % len(gbs)]
+        state, m = train_step(state, gb, lr, rng)
+        edges += float(np.asarray(gb.edge_mask).sum())
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return edges / dt
+
+
+def bench_torch_cpu(batches, steps=4):
+    """PyG-equivalent baseline: same GIN+SignNet architecture with
+    index_select + scatter_add message passing in torch on CPU."""
+    import torch
+    import torch.nn as nn
+
+    b = batches[0]
+    senders = torch.tensor(np.asarray(b["senders"]), dtype=torch.long)
+    receivers = torch.tensor(np.asarray(b["receivers"]), dtype=torch.long)
+    emask = torch.tensor(np.asarray(b["edge_mask"]))[:, None]
+    x_feat = torch.tensor(np.asarray(b["node_feat"]), dtype=torch.long)
+    pe = torch.tensor(np.asarray(b["eigvecs"]))
+    gid = torch.tensor(np.asarray(b["graph_id"]), dtype=torch.long)
+    y = torch.tensor(np.asarray(b["y"]))
+    N = x_feat.shape[0]
+    G = y.shape[0]
+
+    def agg(x):
+        msg = x.index_select(0, senders) * emask
+        out = torch.zeros_like(x)
+        return out.index_add(0, receivers, msg)
+
+    class MLP2(nn.Module):
+        def __init__(s, i, h, o):
+            super().__init__()
+            s.l1, s.l2 = nn.Linear(i, h), nn.Linear(h, o)
+            s.bn = nn.BatchNorm1d(h)
+        def forward(s, x):
+            shp = x.shape
+            h = torch.relu(s.l1(x))
+            h = s.bn(h.reshape(-1, h.shape[-1])).reshape(*shp[:-1], -1)
+            return s.l2(h)
+
+    class Net(nn.Module):
+        def __init__(s):
+            super().__init__()
+            s.emb = nn.Embedding(28, HIDDEN)
+            s.pe_lin = nn.Linear(K, HIDDEN)
+            s.phi = nn.ModuleList([MLP2(1 if i == 0 else 8, 8, 8)
+                                   for i in range(SIGN_INV_LAYERS)])
+            s.rho = nn.Linear(8 * K, K)
+            s.convs = nn.ModuleList([MLP2(HIDDEN, HIDDEN, HIDDEN)
+                                     for _ in range(N_LAYERS)])
+            s.head = nn.Linear(HIDDEN, 1)
+        def forward(s, pe):
+            v = pe.unsqueeze(-1)
+            a, bneg = v, -v
+            for lin in s.phi:
+                a = lin(agg(a.reshape(N, -1)).reshape(N, K, -1))
+                bneg = lin(agg(bneg.reshape(N, -1)).reshape(N, K, -1))
+            p = s.rho((a + bneg).reshape(N, -1))
+            h = s.emb(x_feat) + s.pe_lin(p)
+            for conv in s.convs:
+                h = conv(h + agg(h))
+            hg = torch.zeros(G, HIDDEN).index_add(0, gid, h)
+            return s.head(hg)
+
+    net = Net()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3)
+    edges = float(np.asarray(b["edge_mask"]).sum())
+    # warmup
+    loss = (net(pe)[:, 0] - y[:, 0]).abs().mean()
+    loss.backward(); opt.step(); opt.zero_grad()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        loss = (net(pe)[:, 0] - y[:, 0]).abs().mean()
+        loss.backward(); opt.step(); opt.zero_grad()
+    dt = time.perf_counter() - t0
+    return edges * steps / dt
+
+
+def main():
+    batches = build_batches()
+    tpu_eps = bench_tpu(batches)
+    try:
+        cpu_eps = bench_torch_cpu(batches)
+    except Exception:
+        cpu_eps = float("nan")
+    vs = tpu_eps / cpu_eps if cpu_eps == cpu_eps and cpu_eps > 0 else None
+    print(json.dumps({
+        "metric": "edges_per_s_per_chip_zinc_signnet_gin_train",
+        "value": round(tpu_eps, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

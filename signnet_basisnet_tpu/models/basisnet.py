@@ -1,0 +1,66 @@
+"""BasisNet — basis-invariant encoders over eigenspace projectors.
+
+One IGN 2->1 encoder per eigenvalue-multiplicity class, applied to stacked
+projectors P = V V^T (reference: LearningFilters/signbasisnet.py:23-64).
+Projector stacks arrive as fixed-shape [num_spaces, 1, n, n] arrays per
+multiplicity (built host-side by spectral.projectors), so each encoder runs
+one fully-batched IGN — no per-eigenspace Python loop on device.
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.ign import IGN2to1
+from ..nn.init import Linear
+
+
+class IGNBasisInv(nn.Module):
+    """Per-multiplicity IGN encoders.
+
+    ``projs`` maps multiplicity -> [S_m, 1, n, n] projector stacks; output per
+    multiplicity is [S_m, m, n] (m = multiplicity), concatenated per node by
+    the caller (reference: LearningFilters/signbasisnet.py:23-41).
+    """
+    mult_list: Sequence[int]
+    hidden: int = 32
+
+    @nn.compact
+    def __call__(self, projs: Dict[int, jnp.ndarray], training: bool = True):
+        out = {}
+        for mult in self.mult_list:
+            if mult not in projs:
+                continue
+            out[mult] = IGN2to1(self.hidden, mult, name=f"enc_m{mult}")(
+                projs[mult], training=training)
+        return out
+
+
+class IGNShared(nn.Module):
+    """Weight-shared variant: one IGN (out=1) + per-multiplicity Linear
+    (reference: LearningFilters/signbasisnet.py:43-64)."""
+    mult_list: Sequence[int]
+    hidden: int = 16
+
+    @nn.compact
+    def __call__(self, projs: Dict[int, jnp.ndarray], training: bool = True):
+        enc = IGN2to1(self.hidden, 1, name="enc")
+        out = {}
+        for mult in self.mult_list:
+            if mult not in projs:
+                continue
+            x = enc(projs[mult], training=training)   # S 1 n
+            x = jnp.swapaxes(x, 1, 2)                 # S n 1
+            x = Linear(mult, name=f"fc_m{mult}")(x)   # S n mult
+            out[mult] = jnp.swapaxes(x, 1, 2)         # S mult n
+        return out
+
+
+def basis_features(phi_outs: Dict[int, jnp.ndarray], n: int) -> jnp.ndarray:
+    """Concatenate per-multiplicity IGN outputs into per-node features
+    [n, sum_m S_m * m] (reference: LearningFilters/training.py:120-122)."""
+    feats = [jnp.transpose(v, (2, 0, 1)).reshape(n, -1)
+             for _, v in sorted(phi_outs.items())]
+    return jnp.concatenate(feats, axis=-1)

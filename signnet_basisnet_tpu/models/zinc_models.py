@@ -1,0 +1,199 @@
+"""ZINC graph-regression nets (the DGL-style model family).
+
+Each net follows the reference pattern (atom/bond embeddings, PE merge,
+conv stack, readout, MLP head) with signature
+``apply(gb, pos_enc) -> [G] scores`` (reference:
+GraphPrediction/nets/ZINC_graph_regression/{gin,gatedgcn,gat,pna,transformer}_net.py).
+
+PE handling: `pe_init` in {none, lap_pe, rand_walk}; `lap_method` selects the
+sign treatment, with `sign_inv` owning a DeepSigns submodule exactly like the
+reference nets do.  The LSPE branch (learned positional updates + Laplacian
+auxiliary loss) is implemented for GatedGCN/GIN via `use_lspe`.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..graph import segment as seg
+from ..nn.init import Embedding, Linear
+from ..nn.mlp import MLP, MLPReadout
+from .conv import GatedGCNLayer, GATConv, GINConv, GraphTransformerLayer, PNALayer
+from .signnet import GINDeepSigns, MaskedGINDeepSigns
+
+
+class _Base(nn.Module):
+    """Shared config for ZINC nets."""
+    num_atom_type: int = 28
+    num_bond_type: int = 4
+    hidden_dim: int = 95
+    out_dim: int = 95
+    n_layers: int = 16
+    readout: str = "mean"
+    in_feat_dropout: float = 0.0
+    dropout: float = 0.0
+    batch_norm: bool = True
+    residual: bool = True
+    edge_feat: bool = True
+    pe_init: str = "lap_pe"           # none | lap_pe | rand_walk
+    lap_method: str = "none"          # none|sign_flip|abs_val|canonical|sign_inv
+    pos_enc_dim: int = 8
+    sign_inv_net: str = "gin"         # gin | gcn | masked_gin
+    sign_inv_layers: int = 8
+    phi_out_dim: int = 4
+    pe_aggregate: str = "add"         # add | concat
+    use_lspe: bool = False
+
+    def sign_inv_module(self):
+        kw = dict(hidden=self.hidden_dim, phi_out=self.phi_out_dim,
+                  num_layers=self.sign_inv_layers, k=self.pos_enc_dim,
+                  use_bn=False, dropout=0.0, name="sign_inv_net")
+        if self.sign_inv_net == "masked_gin":
+            return MaskedGINDeepSigns(**kw)
+        kind = "gcn" if self.sign_inv_net == "gcn" else "gin"
+        return GINDeepSigns(kind=kind, **kw)
+
+    def embed_inputs(self, gb, pos_enc, training):
+        h = Embedding(self.num_atom_type, self.hidden_dim,
+                      name="embedding_h")(gb.node_feat.astype(jnp.int32))
+        h = nn.Dropout(self.in_feat_dropout, deterministic=not training)(h)
+        p = None
+        if self.pe_init in ("lap_pe", "rand_walk") and pos_enc is not None:
+            if self.pe_init == "lap_pe" and self.lap_method == "sign_inv":
+                pos_enc = self.sign_inv_module()(gb, pos_enc, training=training)
+            p = Linear(self.hidden_dim, name="embedding_p")(pos_enc)
+        if self.pe_init == "lap_pe" and p is not None and not self.use_lspe:
+            if self.pe_aggregate == "concat":
+                h = Linear(self.hidden_dim, name="embedding_hp")(
+                    jnp.concatenate([h, p], axis=-1))
+            else:
+                h = h + p
+            p = None
+        if self.edge_feat:
+            e = Embedding(self.num_bond_type, self.hidden_dim,
+                          name="embedding_e")(
+                              gb.edge_feat.astype(jnp.int32))
+        else:
+            e = Linear(self.hidden_dim, name="embedding_e")(
+                jnp.ones((gb.num_edges, 1), jnp.float32))
+        return h, p, e
+
+    def readout_head(self, gb, h, training):
+        hg = seg.pool_nodes(h, gb.graph_id, gb.num_graphs,
+                            node_mask=gb.node_mask, reduce=self.readout)
+        return MLPReadout(1, name="mlp_readout")(hg, training=training)[:, 0]
+
+
+class GatedGCNNet(_Base):
+    """reference: GraphPrediction/nets/ZINC_graph_regression/gatedgcn_net.py"""
+
+    @nn.compact
+    def __call__(self, gb, pos_enc=None, training: bool = True):
+        h, p, e = self.embed_inputs(gb, pos_enc, training)
+        snorm = gb.snorm()
+        for i in range(self.n_layers):
+            h, e = GatedGCNLayer(
+                self.hidden_dim if i < self.n_layers - 1 else self.out_dim,
+                dropout=self.dropout, batch_norm=self.batch_norm,
+                residual=self.residual, name=f"layer_{i}")(
+                    gb, h, e, snorm, training=training)
+        return self.readout_head(gb, h, training)
+
+
+class GINNet(_Base):
+    """reference: GraphPrediction/nets/ZINC_graph_regression/gin_net.py"""
+
+    @nn.compact
+    def __call__(self, gb, pos_enc=None, training: bool = True):
+        h, p, e = self.embed_inputs(gb, pos_enc, training)
+        for i in range(self.n_layers):
+            out_dim = self.hidden_dim if i < self.n_layers - 1 else self.out_dim
+            update = MLP(hidden=self.hidden_dim, out=out_dim, num_layers=2,
+                         use_bn=self.batch_norm, dropout=self.dropout,
+                         name=f"mlp_{i}")
+            h = GINConv(update, learn_eps=False,
+                        name=f"layer_{i}")(gb, h, training=training)
+        return self.readout_head(gb, h, training)
+
+
+class GATNet(_Base):
+    """reference: GraphPrediction/nets/ZINC_graph_regression/gat_net.py —
+    heads concatenated between layers, single-head final layer."""
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, gb, pos_enc=None, training: bool = True):
+        h, p, e = self.embed_inputs(gb, pos_enc, training)
+        head_dim = self.hidden_dim // self.num_heads
+        for i in range(self.n_layers - 1):
+            h = GATConv(head_dim, num_heads=self.num_heads, concat=True,
+                        add_self_loops=False, activation="elu",
+                        name=f"layer_{i}")(gb, h, training=training)
+        h = GATConv(self.out_dim, num_heads=1, concat=False,
+                    add_self_loops=False,
+                    name=f"layer_{self.n_layers - 1}")(gb, h, training=training)
+        return self.readout_head(gb, h, training)
+
+
+class PNANet(_Base):
+    """reference: GraphPrediction/nets/ZINC_graph_regression/pna_net.py"""
+    aggregators: Sequence[str] = ("mean", "max", "min", "std")
+    scalers: Sequence[str] = ("identity", "amplification", "attenuation")
+    avg_d_log: float = 1.0
+    towers: int = 5
+    divide_input: bool = True
+    graph_norm: bool = True
+    pretrans_layers: int = 1
+    posttrans_layers: int = 1
+
+    @nn.compact
+    def __call__(self, gb, pos_enc=None, training: bool = True):
+        h, p, e = self.embed_inputs(gb, pos_enc, training)
+        snorm = gb.snorm()
+        for i in range(self.n_layers):
+            h = PNALayer(
+                self.hidden_dim, self.aggregators, self.scalers,
+                self.avg_d_log, towers=self.towers, dropout=self.dropout,
+                graph_norm=self.graph_norm, batch_norm=self.batch_norm,
+                residual=self.residual, edge_features=self.edge_feat,
+                divide_input=self.divide_input,
+                pretrans_layers=self.pretrans_layers,
+                posttrans_layers=self.posttrans_layers,
+                name=f"layer_{i}")(gb, h, e, snorm, training=training)
+        return self.readout_head(gb, h, training)
+
+
+class TransformerNet(_Base):
+    """reference: GraphPrediction/nets/ZINC_graph_regression/transformer_net.py"""
+    num_heads: int = 8
+    full_graph: bool = False
+    layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, gb, pos_enc=None, training: bool = True):
+        h, p, e = self.embed_inputs(gb, pos_enc, training)
+        for i in range(self.n_layers):
+            h = GraphTransformerLayer(
+                self.hidden_dim, self.num_heads, dropout=self.dropout,
+                layer_norm=self.layer_norm, batch_norm=self.batch_norm,
+                residual=self.residual, use_edge=self.edge_feat,
+                full_graph=self.full_graph,
+                name=f"layer_{i}")(gb, h, e, training=training)
+        return self.readout_head(gb, h, training)
+
+
+MODEL_REGISTRY = {
+    "GatedGCN": GatedGCNNet,
+    "GIN": GINNet,
+    "GAT": GATNet,
+    "PNA": PNANet,
+    "Transformer": TransformerNet,
+}
+
+
+def gnn_model(name: str, **net_params):
+    """Model registry (reference:
+    GraphPrediction/nets/ZINC_graph_regression/load_net.py:27-36)."""
+    return MODEL_REGISTRY[name](**net_params)

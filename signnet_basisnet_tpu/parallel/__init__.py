@@ -1,0 +1,3 @@
+from .mesh import make_mesh, dp_sharding, replicated, init_distributed
+from .data_parallel import build_dp_steps
+from .edge_partition import edge_sharded_aggregate, pad_edges_for

@@ -1,0 +1,98 @@
+"""CLI driver: Alchemy 12-target regression with SignNet PE (the Alchemy
+workload).
+
+    python -m signnet_basisnet_tpu.train_alchemy [--seeds 5] [key value ...]
+
+Multi-seed loop, y standardization from train stats, L1 loss, per-target MAE
+and logMAE, plateau LR with min-lr convergence stop (reference:
+Alchemy/main_alchemy.py:29-164; model config hidden 108, nl_signnet 8,
+nl_gnn 16, nl_rho 8 per lines 33-35).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from .data import (add_full_evd, choose_budgets, load_alchemy, pack_batches,
+                   standardize_targets)
+from .graph import from_arrays
+from .models import SignNetGNN
+from .training import (adam, build_steps, count_params, create_state,
+                       evaluate, fit, make_module_predict)
+
+
+def run(args, log=print):
+    splits, real = load_alchemy(args.data_dir,
+                                synth_sizes=(args.synth_train,
+                                             args.synth_eval,
+                                             args.synth_eval))
+    log(f"dataset: Alchemy ({'real' if real else 'synthetic'})")
+    stats = standardize_targets(splits)
+    for graphs in splits.values():
+        add_full_evd(graphs, normalization=None)
+
+    nb, eb, gcnt = choose_budgets(splits["train"], args.batch_size)
+    mk = lambda graphs, shuffle, seed: [
+        from_arrays(a) for a in pack_batches(graphs, nb, eb, gcnt,
+                                             shuffle=shuffle, seed=seed)]
+    val_b = mk(splits["val"], False, 0)
+    test_b = mk(splits["test"], False, 0)
+
+    results = []
+    for seed in range(args.seeds):
+        model = SignNetGNN(n_hid=args.hidden, n_out=12,
+                           nl_signnet=args.nl_signnet, nl_gnn=args.nl_gnn,
+                           nl_rho=args.nl_rho, gnn_type="GINEConv",
+                           node_vocab=args.node_vocab,
+                           edge_vocab=args.edge_vocab)
+        tx = adam(weight_decay=args.weight_decay)
+        state = create_state(model, val_b[0], tx,
+                             rng=jax.random.PRNGKey(seed))
+        if seed == 0:
+            log(f"params: {count_params(state.params)}")
+        predict = make_module_predict(model)
+        train_step, eval_step = build_steps(predict, tx)
+        res = fit(state, train_step, eval_step,
+                  train_batches_fn=lambda ep: mk(splits["train"], True,
+                                                 seed * 10000 + ep),
+                  val_batches_fn=lambda: val_b,
+                  test_batches_fn=lambda: test_b,
+                  epochs=args.epochs, init_lr=args.lr,
+                  lr_reduce_factor=0.5, lr_schedule_patience=5,
+                  min_lr=1e-6, max_time_hours=args.max_time_hours,
+                  seed=seed, log_every=args.log_every, logger=log)
+        log(f"seed {seed}: test MAE {res.test_mae:.4f} "
+            f"(epochs {res.epochs_run})")
+        results.append(res.test_mae)
+    arr = np.array(results)
+    log(f"FINAL over {args.seeds} seeds: MAE {arr.mean():.4f} "
+        f"+- {arr.std():.4f}; logMAE {np.log(arr.mean()):.4f}")
+    return arr
+
+
+def build_parser():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_dir", default="data/alchemy")
+    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--epochs", type=int, default=1000)
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--weight_decay", type=float, default=1e-5)
+    ap.add_argument("--hidden", type=int, default=108)
+    ap.add_argument("--nl_signnet", type=int, default=8)
+    ap.add_argument("--nl_gnn", type=int, default=16)
+    ap.add_argument("--nl_rho", type=int, default=8)
+    ap.add_argument("--node_vocab", type=int, default=10)
+    ap.add_argument("--edge_vocab", type=int, default=10)
+    ap.add_argument("--synth_train", type=int, default=10000)
+    ap.add_argument("--synth_eval", type=int, default=1000)
+    ap.add_argument("--max_time_hours", type=float, default=12.0)
+    ap.add_argument("--log_every", type=int, default=5)
+    return ap
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

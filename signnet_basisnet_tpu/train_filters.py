@@ -1,0 +1,262 @@
+"""CLI driver: spectral filter regression on the 2D grid (the LearningFilters
+workload).
+
+    python -m signnet_basisnet_tpu.train_filters --filter_type band \
+        --net DS --lap_method sign_inv --img_num 3
+
+Per-image independent training (fresh model per image, full-batch epochs),
+masked MSE loss + r2, CSV results append — the reference script's protocol
+(reference: LearningFilters/training.py:230-266).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import filter_labels, load_twodgrid
+from .graph import batch_np, from_arrays
+from .models import (FILTER_MODEL_REGISTRY, IGNBasisInv, IGNShared, SignPlus,
+                     basis_features)
+from .models.spectral_filters import DeepSetsNet, MLPNet, TransformerNet
+from .nn.deepsets import EqDeepSetsEncoder
+from .nn.mlp import MLP as MLPBlock
+from .spectral import eigenspace_layout, projectors_by_multiplicity, prop_higher_mult
+from .training import adam, count_params, metrics as M, scale_updates
+from flax import linen as nn
+
+
+class SignInvPE(nn.Module):
+    """phi(v)+phi(-v) per eigvec + DeepSets rho over [phi_out | eigvals]
+    (reference: LearningFilters/training.py:101-109, gen_sign_inv/gen_rho)."""
+    sign_inv_net: str = "DS"
+    pe_dim: int = 32
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self, eigvecs, eigvals, training: bool = True):
+        n, k = eigvecs.shape
+        v = eigvecs.T[..., None]                     # k x n x 1
+        if self.sign_inv_net == "DS":
+            inner = EqDeepSetsEncoder(hidden=32, out=1, num_layers=3,
+                                      use_bn=True, name="phi")
+        elif self.sign_inv_net == "MLP":
+            inner = MLPBlock(hidden=32, out=1, num_layers=self.num_layers,
+                             use_bn=True, bn_track_running_stats=False,
+                             name="phi")
+        elif self.sign_inv_net == "Transformer":
+            inner = _TransformerInner(name="phi")
+        else:
+            raise ValueError(self.sign_inv_net)
+        feats = SignPlus(inner, name="signplus")(v, training=training)
+        feats = jnp.swapaxes(feats, 0, 1).reshape(n, -1)   # n x k
+        lam = jnp.broadcast_to(eigvals[None, :], (n, k))
+        feats = jnp.concatenate([feats, lam], axis=-1)     # n x 2k
+        rho = EqDeepSetsEncoder(hidden=10, out=self.pe_dim, num_layers=3,
+                                use_bn=True, name="rho")
+        return rho(feats, training=training)
+
+
+class _TransformerInner(nn.Module):
+    @nn.compact
+    def __call__(self, x, training: bool = True):
+        t = TransformerNet(hidden=32, out=1, num_layers=2, name="t")
+        return t(None, x, training=training)
+
+
+class BasisInvPE(nn.Module):
+    """IGN per multiplicity bucket + DeepSets rho (reference:
+    LearningFilters/training.py:119-126)."""
+    mult_list: tuple
+    pe_dim: int = 32
+    shared: bool = False
+
+    @nn.compact
+    def __call__(self, projs, eigvals, n, training: bool = True):
+        net = (IGNShared(self.mult_list, hidden=16, name="ign") if self.shared
+               else IGNBasisInv(self.mult_list, hidden=32, name="ign"))
+        phi_outs = net(projs, training=training)
+        feats = basis_features(phi_outs, n)               # n x (total vecs)
+        lam = jnp.broadcast_to(eigvals[None, :], (n, eigvals.shape[0]))
+        feats = jnp.concatenate([feats, lam], axis=-1)
+        rho = EqDeepSetsEncoder(hidden=10, out=self.pe_dim, num_layers=3,
+                                use_bn=True, name="rho")
+        return rho(feats, training=training)
+
+
+class FilterModel(nn.Module):
+    """Base node-regression net + optional eig features (reference:
+    get_lap_feat, LearningFilters/training.py:87-130)."""
+    net: str = "DS"
+    hidden: int = 32
+    num_layers: int = 2
+    use_eig: bool = False
+    lap_method: str = "none"
+    sign_inv_net: str = "DS"
+    basis_inv_net: str = "IGN"
+    mult_list: tuple = ()
+    k: int = 0
+
+    @nn.compact
+    def __call__(self, gb, x, eigvecs=None, eigvals=None, projs=None,
+                 training: bool = True):
+        if self.use_eig:
+            n = x.shape[0]
+            if self.lap_method == "none":
+                lam = jnp.broadcast_to(eigvals[None, :], (n, self.k))
+                x = jnp.concatenate([x, eigvecs, lam], -1)
+            elif self.lap_method == "abs_val":
+                lam = jnp.broadcast_to(eigvals[None, :], (n, self.k))
+                x = jnp.concatenate([x, jnp.abs(eigvecs), lam], -1)
+            elif self.lap_method == "sign_flip":
+                rng = self.make_rng("sign_flip") if training else None
+                v = eigvecs
+                if rng is not None:
+                    flips = jnp.where(
+                        jax.random.uniform(rng, (v.shape[1],)) >= 0.5, 1., -1.)
+                    v = v * flips[None, :]
+                lam = jnp.broadcast_to(eigvals[None, :], (n, self.k))
+                x = jnp.concatenate([x, v, lam], -1)
+            elif self.lap_method == "sign_inv":
+                pe = SignInvPE(self.sign_inv_net, name="pe")(
+                    eigvecs, eigvals, training=training)
+                x = jnp.concatenate([x, pe], -1)
+            elif self.lap_method == "basis_inv":
+                pe = BasisInvPE(self.mult_list,
+                                shared=self.basis_inv_net == "IGNShared",
+                                name="pe")(projs, eigvals, n,
+                                           training=training)
+                x = jnp.concatenate([x, pe], -1)
+            else:
+                raise ValueError(self.lap_method)
+        base = FILTER_MODEL_REGISTRY[self.net](
+            hidden=self.hidden, num_layers=self.num_layers, name="base")
+        return base(gb, x, training=training)
+
+
+def run(args, log=print):
+    data = load_twodgrid(args.mat_path)
+    n = data["n"]
+    y_all = filter_labels(data, args.filter_type, cache_dir=args.label_dir)
+    gb = from_arrays(batch_np(
+        [dict(senders=data["senders"], receivers=data["receivers"],
+              node_feat=np.zeros((n, 1), np.float32))],
+        num_nodes=n, num_edges=len(data["senders"]), num_graphs=2))
+
+    eigvecs = jnp.asarray(data["eigvecs"][:, :args.k]) if args.k else \
+        jnp.asarray(data["eigvecs"])
+    eigvals = jnp.asarray(data["eigvals"][:eigvecs.shape[1]])
+    k = eigvecs.shape[1]
+    mask = jnp.asarray(data["mask"])[:, None]
+
+    projs = None
+    mult_list = ()
+    if args.lap_method == "basis_inv":
+        layout = eigenspace_layout(np.asarray(data["eigvals"]))
+        log(f"prop vecs in higher mult: {prop_higher_mult(layout, n):.4f}; "
+            f"num eigenspaces: {layout.num_spaces}")
+        projs_np = projectors_by_multiplicity(data["eigvecs"], layout)
+        projs = {m: jnp.asarray(P[:, None]) for m, P in projs_np.items()}
+        mult_list = tuple(layout.uniq_mults)
+
+    model = FilterModel(net=args.net, hidden=args.hidden_channels,
+                        num_layers=args.num_layers, use_eig=args.use_eig,
+                        lap_method=args.lap_method,
+                        sign_inv_net=args.sign_inv_net,
+                        basis_inv_net=args.basis_inv_net,
+                        mult_list=mult_list, k=k)
+    tx = adam()
+    results = []
+    x_all = jnp.asarray(data["x"])
+    for img in range(args.img_num):
+        x = x_all[:, img:img + 1]
+        y = jnp.asarray(y_all[:, img:img + 1])
+        rngs = {"params": jax.random.PRNGKey(img),
+                "dropout": jax.random.PRNGKey(img + 1),
+                "sign_flip": jax.random.PRNGKey(img + 2)}
+        kwargs = dict(eigvecs=eigvecs, eigvals=eigvals, projs=projs)
+        variables = model.init(rngs, gb, x, training=False, **kwargs)
+        params, bs = variables["params"], variables.get("batch_stats", {})
+        opt_state = tx.init(params)
+        if img == 0:
+            log(f"PARAMETERS: {count_params(params)}")
+
+        def train_step(params, bs, opt_state, rng):
+            def loss_fn(p):
+                pred, upd = model.apply(
+                    {"params": p, "batch_stats": bs}, gb, x, training=True,
+                    rngs={"dropout": rng, "sign_flip": rng},
+                    mutable=["batch_stats"], **kwargs)
+                return M.masked_mse_sum(pred, y, mask), \
+                    (pred, upd.get("batch_stats", bs))
+            (loss, (pred, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            upds, new_opt = tx.update(grads, opt_state, params)
+            upds = scale_updates(upds, args.lr)
+            new_params = jax.tree.map(lambda a, b: a + b, params, upds)
+            r2 = M.masked_r2(pred, y, mask)
+            return new_params, new_bs, new_opt, loss, r2
+
+        jit_step = jax.jit(train_step)
+        best_loss, best_r2, best_ep = float("inf"), 0.0, 0
+        t0 = time.time()
+        rng = jax.random.PRNGKey(1000 + img)
+        for ep in range(args.epochs):
+            rng, sub = jax.random.split(rng)
+            params, bs, opt_state, loss, r2 = jit_step(params, bs, opt_state,
+                                                       sub)
+            loss = float(loss)
+            if loss < best_loss:
+                best_loss, best_r2, best_ep = loss, float(r2), ep
+            if ep % 100 == 0:
+                log(f"img {img} epoch {ep} min_loss {best_loss:.6f} "
+                    f"best_r2 {best_r2:.4f} ({time.time() - t0:.1f}s)")
+                t0 = time.time()
+        results.append([best_loss, best_r2])
+        log(f"img {img + 1}: loss={best_loss:.6f} r2={best_r2:.4f} "
+            f"epoch={best_ep}")
+
+    arr = np.array(results)
+    log(f"mean loss= {arr[:, 0].mean():.8f} stdev= {arr[:, 0].std():.8f} "
+        f"mean r2= {arr[:, 1].mean():.6f}")
+    if args.results_dir:
+        os.makedirs(args.results_dir, exist_ok=True)
+        p = os.path.join(args.results_dir,
+                         f"{args.filter_type}_{args.img_num}.csv")
+        with open(p, "a") as f:
+            f.write(f"{args.net},{arr[:, 0].mean():.8f},{arr[:, 0].std():.8f},"
+                    f"{args.use_eig},{args.lap_method},{args.hidden_channels},"
+                    f"{args.num_layers}\n")
+    return arr
+
+
+def build_parser():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=2000)
+    ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--filter_type", default="band",
+                    choices=["low", "high", "band", "rejection", "comb",
+                             "low_band"])
+    ap.add_argument("--net", default="BernNet",
+                    choices=list(FILTER_MODEL_REGISTRY))
+    ap.add_argument("--img_num", type=int, default=3)
+    ap.add_argument("--use_eig", action="store_true")
+    ap.add_argument("--lap_method", default="none")
+    ap.add_argument("--sign_inv_net", default="DS")
+    ap.add_argument("--basis_inv_net", default="IGN")
+    ap.add_argument("--hidden_channels", type=int, default=32)
+    ap.add_argument("--num_layers", type=int, default=2)
+    ap.add_argument("--k", type=int, default=0,
+                    help="use only first k eigvecs (0 = all)")
+    ap.add_argument("--mat_path", default="data/2dgrid/2Dgrid.mat")
+    ap.add_argument("--label_dir", default="data/2dgrid")
+    ap.add_argument("--results_dir", default="results")
+    return ap
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

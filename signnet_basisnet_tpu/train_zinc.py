@@ -1,0 +1,133 @@
+"""CLI driver: ZINC graph regression (the GraphPrediction workload).
+
+    python -m signnet_basisnet_tpu.train_zinc --config configs/gin_signinv.json \
+        [key value ...]
+
+Reproduces the reference pipeline (reference:
+GraphPrediction/main_ZINC_graph_regression.py:94-252): PE init -> model ->
+Adam + plateau LR -> epoch loop with val/test eval, checkpointing, min-lr /
+max-time stops, final results dump.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from .data import (add_full_evd, add_lap_pe, add_rwpe, avg_degree_stats,
+                   choose_budgets, load_zinc, pack_batches)
+from .graph import from_arrays
+from .models import gnn_model
+from .training import (Checkpointer, adam, build_steps, count_params,
+                       create_state, fit, load_config, make_zinc_predict)
+
+
+def prepare_data(cfg):
+    splits, real = load_zinc(cfg.data.data_dir, subset=cfg.data.subset,
+                             synth_sizes=(cfg.data.synth_train,
+                                          cfg.data.synth_eval,
+                                          cfg.data.synth_eval))
+    k = cfg.model.pos_enc_dim
+    for graphs in splits.values():
+        if cfg.data.pe_mode == "lap_pe":
+            add_lap_pe(graphs, k)
+        elif cfg.data.pe_mode == "full_evd":
+            add_full_evd(graphs, normalization=cfg.data.evd_normalization)
+        elif cfg.data.pe_mode == "rwpe":
+            add_rwpe(graphs, k)
+    return splits, real
+
+
+def run(cfg, log=print):
+    t0 = time.time()
+    splits, real = prepare_data(cfg)
+    log(f"dataset: ZINC ({'real' if real else 'synthetic'}) "
+        f"train={len(splits['train'])} val={len(splits['val'])} "
+        f"test={len(splits['test'])}")
+
+    nb, eb, gb_cnt = choose_budgets(splits["train"], cfg.train.batch_size,
+                                    slack=cfg.data.batch_slack,
+                                    align=cfg.data.batch_align)
+    k = (cfg.model.pos_enc_dim if cfg.data.pe_mode != "full_evd" else None)
+    make_batches = lambda graphs, shuffle, seed: [
+        from_arrays(a) for a in pack_batches(graphs, nb, eb, gb_cnt,
+                                             shuffle=shuffle, seed=seed, k=k)]
+    val_batches = make_batches(splits["val"], False, 0)
+    test_batches = make_batches(splits["test"], False, 0)
+
+    params = dict(
+        hidden_dim=cfg.model.hidden_dim, out_dim=cfg.model.out_dim,
+        n_layers=cfg.model.n_layers, readout=cfg.model.readout,
+        in_feat_dropout=cfg.model.in_feat_dropout, dropout=cfg.model.dropout,
+        batch_norm=cfg.model.batch_norm, residual=cfg.model.residual,
+        edge_feat=cfg.model.edge_feat, pe_init=cfg.model.pe_init,
+        lap_method=cfg.model.lap_method, pos_enc_dim=cfg.model.pos_enc_dim,
+        sign_inv_net=cfg.model.sign_inv_net,
+        sign_inv_layers=cfg.model.sign_inv_layers,
+        phi_out_dim=cfg.model.phi_out_dim,
+        pe_aggregate=cfg.model.pe_aggregate,
+    )
+    if cfg.model.model in ("GAT", "Transformer"):
+        params["num_heads"] = cfg.model.num_heads
+    if cfg.model.model == "Transformer":
+        params["full_graph"] = cfg.model.full_graph
+        params["layer_norm"] = cfg.model.layer_norm
+    if cfg.model.model == "PNA":
+        avg_d = avg_degree_stats(splits["train"])
+        params.update(avg_d_log=avg_d["log"], towers=cfg.model.towers,
+                      **cfg.model.extra)
+
+    model = gnn_model(cfg.model.model, **params)
+    tx = adam(cfg.train.weight_decay)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state = create_state(model, val_batches[0], tx, rng=rng,
+                         model_kwargs={"pos_enc": val_batches[0].eigvecs})
+    log(f"model: {cfg.model.model} params={count_params(state.params)}")
+
+    predict = make_zinc_predict(model, lap_method=cfg.model.lap_method)
+    train_step, eval_step = build_steps(predict, tx)
+
+    ckpt = (Checkpointer(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints)
+            if cfg.train.checkpoint_dir else None)
+
+    result = fit(
+        state, train_step, eval_step,
+        train_batches_fn=lambda ep: make_batches(splits["train"], True,
+                                                 cfg.train.seed + ep),
+        val_batches_fn=lambda: val_batches,
+        test_batches_fn=lambda: test_batches,
+        epochs=cfg.train.epochs, init_lr=cfg.train.init_lr,
+        lr_reduce_factor=cfg.train.lr_reduce_factor,
+        lr_schedule_patience=cfg.train.lr_schedule_patience,
+        min_lr=cfg.train.min_lr, max_time_hours=cfg.train.max_time_hours,
+        seed=cfg.train.seed, log_every=cfg.train.print_epoch_interval,
+        logger=log, checkpointer=ckpt,
+    )
+    log(f"FINAL: test_mae={result.test_mae:.4f} val_mae={result.val_mae:.4f} "
+        f"epochs={result.epochs_run} time={(time.time() - t0) / 3600:.2f}h")
+
+    if cfg.out_dir:
+        os.makedirs(cfg.out_dir, exist_ok=True)
+        with open(os.path.join(cfg.out_dir, f"{cfg.name}_results.json"),
+                  "w") as f:
+            json.dump(dict(test_mae=result.test_mae, val_mae=result.val_mae,
+                           epochs=result.epochs_run, config=cfg.to_dict(),
+                           history=result.history), f, indent=2)
+    return result
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+    cfg = load_config(args.config, args.overrides)
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,9 @@
+from .config import Config, TrainConfig, ModelConfig, DataConfig, load_config
+from .optim import adam, scale_updates, ReduceLROnPlateau, StepLR
+from . import metrics
+from .train import (
+    TrainState, create_state, build_steps, make_zinc_predict,
+    make_module_predict, fit, evaluate, count_params, l1_graph_loss,
+    FitResult,
+)
+from .checkpoint import Checkpointer

@@ -1,0 +1,196 @@
+"""Training harness: jitted train/eval steps + epoch driver.
+
+One harness serves all four reference workloads (SURVEY.md §1 L6): the model
+forward is abstracted as ``predict(variables, gb, training, rngs)`` returning
+per-graph scores; loss is masked L1 (ZINC/Alchemy) with pluggable
+alternatives.  The LR is a runtime scalar input so the host-side plateau
+scheduler never retriggers compilation; train/eval share one compiled step
+per batch shape.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from . import metrics as M
+from .optim import ReduceLROnPlateau, adam, scale_updates
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def count_params(params) -> int:
+    return int(sum(np.prod(x.shape) for x in jax.tree.leaves(params)))
+
+
+def create_state(model, example_gb, tx, rng=None, model_kwargs=None
+                 ) -> TrainState:
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    variables = model.init({"params": rng}, example_gb, training=False,
+                           **(model_kwargs or {}))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def l1_graph_loss(pred, gb):
+    y = gb.y
+    if pred.ndim == 1 and y.ndim == 2:
+        y = y[:, 0]
+    return M.masked_l1(pred, y, gb.graph_mask)
+
+
+def make_zinc_predict(model, lap_method: str = "none"):
+    """predict() for the DGL-style nets: applies the PE sign-handling then
+    the net (reference: train/train_ZINC_graph_regression.py:54-88)."""
+    from ..models.pe import apply_lap_method
+
+    def predict(variables, gb, training, rngs, mutable):
+        pos_enc = gb.eigvecs
+        if pos_enc is not None and lap_method not in ("none",):
+            rng = rngs.get("sign_flip") if rngs else None
+            pos_enc = apply_lap_method(lap_method, gb, pos_enc, rng=rng)
+        return model.apply(variables, gb, pos_enc, training=training,
+                           rngs=rngs, mutable=mutable)
+
+    return predict
+
+
+def make_module_predict(model):
+    """predict() for modules whose __call__ is (gb, training=...)."""
+    def predict(variables, gb, training, rngs, mutable):
+        return model.apply(variables, gb, training=training, rngs=rngs,
+                           mutable=mutable)
+    return predict
+
+
+def build_steps(predict, tx, loss_fn=l1_graph_loss, donate: bool = True):
+    """Returns jitted (train_step, eval_step)."""
+
+    def train_step(state: TrainState, gb, lr, rng):
+        rngs = {"dropout": rng, "sign_flip": jax.random.fold_in(rng, 1)}
+
+        def _loss(params):
+            (pred, updates) = predict(
+                {"params": params, "batch_stats": state.batch_stats},
+                gb, True, rngs, ["batch_stats"])
+            loss = loss_fn(pred, gb)
+            return loss, (pred, updates.get("batch_stats", state.batch_stats))
+
+        (loss, (pred, new_bs)), grads = jax.value_and_grad(
+            _loss, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = scale_updates(updates, lr)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        y = gb.y[:, 0] if (pred.ndim == 1 and gb.y.ndim == 2) else gb.y
+        mae = M.masked_l1(pred, y, gb.graph_mask)
+        new_state = TrainState(params=new_params, batch_stats=new_bs,
+                               opt_state=new_opt, step=state.step + 1)
+        return new_state, {"loss": loss, "mae": mae}
+
+    def eval_step(state: TrainState, gb):
+        pred, _ = predict({"params": state.params,
+                           "batch_stats": state.batch_stats},
+                          gb, False, None, ["batch_stats"])
+        loss = loss_fn(pred, gb)
+        y = gb.y[:, 0] if (pred.ndim == 1 and gb.y.ndim == 2) else gb.y
+        mae = M.masked_l1(pred, y, gb.graph_mask)
+        n = gb.graph_mask.sum()
+        return {"loss_sum": loss * n, "mae_sum": mae * n, "n": n}
+
+    donate_args = (0,) if donate else ()
+    return (jax.jit(train_step, donate_argnums=donate_args),
+            jax.jit(eval_step))
+
+
+@dataclass
+class FitResult:
+    state: TrainState
+    history: list
+    test_mae: float
+    val_mae: float
+    epochs_run: int
+    wall_time: float
+
+
+def evaluate(eval_step, state, batches) -> Dict[str, float]:
+    tot = {"loss_sum": 0.0, "mae_sum": 0.0, "n": 0.0}
+    for gb in batches:
+        out = eval_step(state, gb)
+        for k in tot:
+            tot[k] += float(out[k])
+    n = max(tot["n"], 1.0)
+    return {"loss": tot["loss_sum"] / n, "mae": tot["mae_sum"] / n}
+
+
+def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
+        test_batches_fn=None, *, epochs=1000, init_lr=1e-3,
+        lr_reduce_factor=0.5, lr_schedule_patience=25, min_lr=1e-6,
+        max_time_hours=12.0, seed=0, log_every=5, logger=None,
+        checkpointer=None) -> FitResult:
+    """Epoch driver with plateau LR, min-lr stop, wall-clock budget and
+    graceful KeyboardInterrupt — the reference pipeline's control flow
+    (reference: GraphPrediction/main_ZINC_graph_regression.py:171-252)."""
+    sched = ReduceLROnPlateau(factor=lr_reduce_factor,
+                              patience=lr_schedule_patience,
+                              min_lr=min_lr, lr=init_lr)
+    rng = jax.random.PRNGKey(seed)
+    history = []
+    t0 = time.time()
+    epochs_run = 0
+    log = logger or (lambda msg: print(msg, flush=True))
+    try:
+        for epoch in range(epochs):
+            te0 = time.time()
+            losses, maes, nb = 0.0, 0.0, 0
+            for gb in train_batches_fn(epoch):
+                rng, sub = jax.random.split(rng)
+                state, m = train_step(state, gb, sched.lr, sub)
+                losses += float(m["loss"]); maes += float(m["mae"]); nb += 1
+            train_loss = losses / max(nb, 1)
+            train_mae = maes / max(nb, 1)
+            val = evaluate(eval_step, state, val_batches_fn())
+            lr_now = sched.step(val["loss"])
+            epochs_run = epoch + 1
+            rec = dict(epoch=epoch, lr=lr_now, train_loss=train_loss,
+                       train_mae=train_mae, val_loss=val["loss"],
+                       val_mae=val["mae"], time=time.time() - te0)
+            history.append(rec)
+            if epoch % log_every == 0:
+                log(f"epoch {epoch:4d} lr {lr_now:.2e} "
+                    f"train_mae {train_mae:.4f} val_mae {val['mae']:.4f} "
+                    f"({rec['time']:.1f}s)")
+            if checkpointer is not None:
+                checkpointer.save(epoch, {"params": state.params,
+                                          "batch_stats": state.batch_stats,
+                                          "opt_state": state.opt_state})
+            if sched.converged:
+                log("converged: lr <= min_lr")
+                break
+            if (time.time() - t0) > max_time_hours * 3600:
+                log("stopping: max_time reached")
+                break
+    except KeyboardInterrupt:
+        log("interrupted: finishing with final eval")
+
+    val = evaluate(eval_step, state, val_batches_fn())
+    test = (evaluate(eval_step, state, test_batches_fn())
+            if test_batches_fn else {"mae": float("nan")})
+    return FitResult(state=state, history=history, test_mae=test["mae"],
+                     val_mae=val["mae"], epochs_run=epochs_run,
+                     wall_time=time.time() - t0)

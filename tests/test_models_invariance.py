@@ -1,0 +1,185 @@
+"""Model-level property tests: sign/basis invariance, padding invariance,
+shape checks across conv layers and the full nets."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from signnet_basisnet_tpu.graph import batch_np, from_arrays
+from signnet_basisnet_tpu import models as M
+from signnet_basisnet_tpu import spectral as sp
+
+
+def random_graph(rng, n, num_feat_vocab=28, edge_vocab=4, k=4):
+    A = np.triu((rng.random((n, n)) < 0.5).astype(int), 1)
+    A = A + A.T
+    s, r = np.nonzero(A)
+    vals, vecs = sp.lap_pe_np(s, r, n, k=k, skip_first=True)
+    allvals, allvecs = sp.full_evd_np(s, r, n)
+    return dict(
+        senders=s, receivers=r,
+        node_feat=rng.integers(0, num_feat_vocab, size=n),
+        edge_feat=rng.integers(0, edge_vocab, size=len(s)),
+        y=np.array([float(rng.normal())]),
+        eigvecs=allvecs, eigvals=allvals,
+    ), vecs
+
+
+def make_batch(rng, sizes=(5, 7), num_nodes=24, num_edges=80, num_graphs=4, k=None):
+    graphs, pes = [], []
+    for n in sizes:
+        g, pe = random_graph(rng, n)
+        graphs.append(g)
+        pes.append(pe)
+    arrays = batch_np(graphs, num_nodes, num_edges, num_graphs, k=k)
+    gb = from_arrays(arrays)
+    pe = np.zeros((num_nodes, pes[0].shape[1]), np.float32)
+    off = 0
+    for p in pes:
+        pe[off:off + p.shape[0]] = p
+        off += p.shape[0]
+    return gb, jnp.asarray(pe)
+
+
+def init_apply(model, *args, seed=0, **kwargs):
+    rngs = {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, *args, training=False, **kwargs)
+    def run(*a, **kw):
+        return model.apply(variables, *a, training=False, rngs=rngs,
+                           mutable=["batch_stats"], **kw)[0]
+    return run, variables
+
+
+def test_signnet_sign_invariance():
+    rng = np.random.default_rng(0)
+    gb, _ = make_batch(rng)
+    model = M.SignNet(n_hid=16, nl_phi=3, nl_rho=2)
+    run, _ = init_apply(model, gb)
+    out1 = run(gb)
+    flips = np.where(rng.random(gb.eigvecs.shape[1]) < 0.5, -1.0, 1.0)
+    gb_flipped = gb.replace(eigvecs=gb.eigvecs * jnp.asarray(flips)[None, :])
+    out2 = run(gb_flipped)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-4)
+    assert out1.shape == (gb.num_nodes, 16)
+
+
+def test_deepsigns_sign_invariance_and_shape():
+    rng = np.random.default_rng(1)
+    gb, pe = make_batch(rng)
+    model = M.GINDeepSigns(hidden=12, phi_out=4, num_layers=3, k=pe.shape[1],
+                           use_bn=False, dropout=0.0)
+    run, _ = init_apply(model, gb, pe)
+    out1 = run(gb, pe)
+    out2 = run(gb, -pe)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-4)
+    assert out1.shape == (gb.num_nodes, pe.shape[1])
+
+
+def test_masked_deepsigns_runs():
+    rng = np.random.default_rng(2)
+    gb, pe = make_batch(rng)
+    model = M.MaskedGINDeepSigns(hidden=12, phi_out=4, num_layers=2,
+                                 k=pe.shape[1], dropout=0.0)
+    run, _ = init_apply(model, gb, pe)
+    out = run(gb, pe)
+    assert out.shape == (gb.num_nodes, pe.shape[1])
+    np.testing.assert_allclose(np.asarray(run(gb, -pe)), np.asarray(out),
+                               atol=1e-4)
+
+
+def test_basisnet_basis_invariance():
+    """IGN on projectors is invariant to orthogonal basis change within an
+    eigenspace: rotate the eigvecs of a repeated eigenvalue, P unchanged;
+    and IGN output is permutation-equivariant wrt nodes."""
+    rng = np.random.default_rng(3)
+    n = 9
+    idx = np.arange(n).reshape(3, 3)
+    sends, recvs = [], []
+    for i in range(3):
+        for j in range(3):
+            for di, dj in ((0, 1), (1, 0)):
+                if i + di < 3 and j + dj < 3:
+                    a, b = idx[i, j], idx[i + di, j + dj]
+                    sends += [a, b]; recvs += [b, a]
+    vals, vecs = sp.full_evd_np(np.array(sends), np.array(recvs), n,
+                                normalization="sym")
+    layout = sp.eigenspace_layout(vals)
+    projs_np = sp.projectors_by_multiplicity(vecs, layout)
+    projs = {m: jnp.asarray(P[:, None]) for m, P in projs_np.items()}
+
+    model = M.IGNBasisInv(mult_list=layout.uniq_mults, hidden=8)
+    rngs = {"params": jax.random.PRNGKey(0)}
+    variables = model.init(rngs, projs, training=False)
+    out1 = model.apply(variables, projs, training=False,
+                       mutable=["batch_stats"])[0]
+
+    # rotate each multiplicity>1 eigenspace by a random orthogonal matrix
+    spaces = np.split(vecs, layout.sections[:-1], axis=1)
+    rot_spaces = []
+    for s_i, Vs in enumerate(spaces):
+        m = Vs.shape[1]
+        if m > 1:
+            Q, _ = np.linalg.qr(rng.normal(size=(m, m)))
+            Vs = Vs @ Q
+        rot_spaces.append(Vs)
+    vecs_rot = np.concatenate(rot_spaces, axis=1)
+    projs_rot_np = sp.projectors_by_multiplicity(vecs_rot, layout)
+    projs_rot = {m: jnp.asarray(P[:, None]) for m, P in projs_rot_np.items()}
+    out2 = model.apply(variables, projs_rot, training=False,
+                       mutable=["batch_stats"])[0]
+    for m in out1:
+        np.testing.assert_allclose(np.asarray(out1[m]), np.asarray(out2[m]),
+                                   atol=1e-4)
+
+
+@pytest.mark.parametrize("name", ["GIN", "GatedGCN", "GAT", "PNA", "Transformer"])
+def test_zinc_models_forward(name):
+    rng = np.random.default_rng(4)
+    gb, pe = make_batch(rng)
+    kw = dict(hidden_dim=16, out_dim=16, n_layers=2, pos_enc_dim=pe.shape[1],
+              lap_method="sign_inv", sign_inv_layers=2, phi_out_dim=2)
+    if name == "GAT":
+        kw["num_heads"] = 4
+    model = M.gnn_model(name, **kw)
+    run, _ = init_apply(model, gb, pe)
+    out = run(gb, pe)
+    assert out.shape == (gb.num_graphs,)
+    assert not np.any(np.isnan(np.asarray(out)))
+
+
+def test_signnet_gnn_padding_invariance():
+    """Whole-model output on real graphs must be identical for different
+    padding amounts — the central correctness property of the padded design."""
+    rng = np.random.default_rng(5)
+    outs = []
+    model = M.SignNetGNN(n_hid=16, n_out=1, nl_signnet=2, nl_gnn=2, nl_rho=1,
+                         ignore_eigval=False)
+    variables = None
+    for (nn_, ne, ng) in [(24, 80, 4), (40, 120, 6)]:
+        rng = np.random.default_rng(5)  # same graphs
+        gb, _ = make_batch(rng, num_nodes=nn_, num_edges=ne, num_graphs=ng,
+                           k=8)
+        if variables is None:
+            rngs = {"params": jax.random.PRNGKey(0)}
+            variables = model.init(rngs, gb, training=False)
+        out = model.apply(variables, gb, training=False,
+                          mutable=["batch_stats"])[0]
+        outs.append(np.asarray(out)[:2])
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-4)
+
+
+def test_pe_methods():
+    rng = np.random.default_rng(6)
+    gb, pe = make_batch(rng)
+    out = M.apply_lap_method("abs_val", gb, pe)
+    np.testing.assert_allclose(np.asarray(out), np.abs(np.asarray(pe)))
+    out = M.apply_lap_method("sign_flip", gb, pe, rng=jax.random.PRNGKey(0))
+    col_ratio = np.asarray(out) / np.where(np.asarray(pe) == 0, 1,
+                                           np.asarray(pe))
+    # canonical: flipping input signs must give identical canonical output
+    can1 = M.apply_lap_method("canonical", gb, pe)
+    flips = jnp.asarray(np.where(rng.random(pe.shape[1]) < 0.5, -1.0, 1.0))
+    # per-graph flips: flip all columns of every graph the same way is what
+    # canonicalization undoes (it is a per-graph, per-column choice)
+    can2 = M.apply_lap_method("canonical", gb, pe * flips[None, :])
+    np.testing.assert_allclose(np.asarray(can1), np.asarray(can2), atol=1e-5)
