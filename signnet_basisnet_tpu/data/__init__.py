@@ -9,3 +9,5 @@ from .twodgrid import load_twodgrid, filter_labels, filter_response, FILTERS
 from .alchemy import (
     load_alchemy, synthetic_alchemy, standardize_targets, ALCHEMY_NUM_TARGETS,
 )
+from .transforms import make_full_graph, make_full_graphs
+from .native import native_available, GraphStore, pack_batch_native

@@ -1,4 +1,5 @@
-from .batch import GraphBatch, batch_np, from_arrays
+from .batch import (GraphBatch, batch_np, from_arrays, to_dense_nodes,
+                    from_dense_nodes, dense_node_index)
 from . import segment
 
 __all__ = ["GraphBatch", "batch_np", "from_arrays", "segment"]

@@ -199,6 +199,15 @@ def batch_np(
         pad_shape = (num_graphs - ys.shape[0],) + ys.shape[1:]
         out["y"] = np.concatenate([ys, np.zeros(pad_shape, ys.dtype)], axis=0)
 
+    # optional per-edge extras (e.g. 'edge_real' full-graph flags)
+    if all("edge_real" in g for g in graphs):
+        er = np.concatenate([np.asarray(g["edge_real"], np.float32)
+                             for g in graphs])
+        er = _pad_rows(er, num_edges)
+        if order is not None:
+            er = er[order]
+        out["edge_real"] = er
+
     if has["eigvecs"]:
         if k is None:
             k = max(v.shape[1] for v in eig["eigvecs"])
@@ -229,6 +238,40 @@ def from_arrays(arrays: Dict[str, np.ndarray]) -> GraphBatch:
     main = {k: jnp.asarray(v) for k, v in arrays.items() if k in known}
     extras = {k: jnp.asarray(v) for k, v in arrays.items() if k not in known}
     return GraphBatch(**main, extras=extras)
+
+
+def dense_node_index(gb: GraphBatch):
+    """Per-node (graph, index-in-graph) coordinates for densification.
+
+    Valid because nodes of a graph are contiguous in the flat layout.
+    """
+    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(gb.n_node)[:-1]])
+    idx_in_graph = jnp.arange(gb.num_nodes, dtype=jnp.int32) \
+        - offsets[gb.graph_id]
+    return gb.graph_id, idx_in_graph
+
+
+def to_dense_nodes(gb: GraphBatch, x: jnp.ndarray, n_max: int):
+    """Scatter flat node features [N, ...] into [G, n_max, ...] + mask
+    [G, n_max] (the dense layout for per-graph attention, the analog of the
+    reference's to_dense_EVD padding, Alchemy/sign_net/transform.py:26-49)."""
+    gid, idx = dense_node_index(gb)
+    idx = jnp.minimum(idx, n_max - 1)
+    dense = jnp.zeros((gb.num_graphs, n_max) + x.shape[1:], x.dtype)
+    dense = dense.at[gid, idx].set(x * gb.node_mask.reshape(
+        (-1,) + (1,) * (x.ndim - 1)))
+    mask = jnp.zeros((gb.num_graphs, n_max), jnp.float32)
+    mask = mask.at[gid, idx].set(gb.node_mask)
+    return dense, mask
+
+
+def from_dense_nodes(gb: GraphBatch, dense: jnp.ndarray):
+    """Inverse of to_dense_nodes: gather back to the flat [N, ...] layout."""
+    gid, idx = dense_node_index(gb)
+    idx = jnp.minimum(idx, dense.shape[1] - 1)
+    out = dense[gid, idx]
+    return out * gb.node_mask.reshape((-1,) + (1,) * (out.ndim - 1))
 
 
 def len_nodes(g) -> int:

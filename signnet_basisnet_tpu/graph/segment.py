@@ -22,8 +22,27 @@ import jax.numpy as jnp
 # Large-but-finite stand-in for -inf so padded segments give 0 after exp.
 _NEG_BIG = jnp.float32(-1e30)
 
+# Global backend for sum-aggregations: 'xla' (scatter-add) or 'onehot'
+# (MXU matmul against an on-the-fly one-hot; see ops/segment_matmul.py).
+# Selected by benchmarking on the target chip (bench_ops.py).
+_SUM_BACKEND = "xla"
+
+
+def set_sum_backend(name: str) -> None:
+    global _SUM_BACKEND
+    if name not in ("xla", "onehot"):
+        raise ValueError(name)
+    _SUM_BACKEND = name
+
+
+def get_sum_backend() -> str:
+    return _SUM_BACKEND
+
 
 def segment_sum(data, segment_ids, num_segments, indices_are_sorted=True):
+    if _SUM_BACKEND == "onehot" and data.ndim == 2:
+        oh = jax.nn.one_hot(segment_ids, num_segments, dtype=data.dtype)
+        return oh.T @ data
     return jax.ops.segment_sum(
         data, segment_ids, num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,

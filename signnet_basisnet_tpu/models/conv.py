@@ -262,7 +262,7 @@ def pna_aggregate(msg, gb, aggregators: Sequence[str]):
             n = int(a[-1])
             centered = msg - mean[recv]
             mn = seg.segment_sum((centered ** n) * E, recv, N) / deg
-            outs.append(jnp.sign(mn) * jnp.abs(jnp.abs(mn) + PNA_EPS) ** (1.0 / n))
+            outs.append(jnp.sign(mn) * (jnp.abs(mn) + PNA_EPS) ** (1.0 / n))
         else:
             raise ValueError(f"unknown aggregator {a!r}")
     return outs, deg

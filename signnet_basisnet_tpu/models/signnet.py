@@ -206,3 +206,58 @@ class MaskedGINDeepSigns(nn.Module):
 
 
 GCNDeepSigns = lambda **kw: GINDeepSigns(kind="gcn", **kw)  # noqa: E731
+
+
+class TransformerDeepSigns(nn.Module):
+    """phi = set-transformer encoder over each graph's node set, applied per
+    eigenvector; rho = flatten + MLP (reference:
+    GraphPrediction/layers/deepsigns.py:89-119, DGL SetTransformerEncoder).
+
+    Runs in the dense per-graph layout [G, n_max, ...]: the k eigvec channels
+    and the +-v pair fold into the attention batch axis, so the whole phi is
+    a handful of big batched MXU matmuls.
+    """
+    hidden: int
+    num_layers: int
+    k: int
+    n_max: int
+    num_heads: int = 2
+    use_bn: bool = False
+    dropout: float = 0.0
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, gb, eigvecs, training: bool = True):
+        from ..graph.batch import from_dense_nodes, to_dense_nodes
+        from ..nn.set_transformer import TransformerEncoderLayer
+
+        n = eigvecs.shape[0]
+        embed = Linear(self.hidden, name="embed")   # shared for +-v
+        x_plus = embed(eigvecs[..., None])          # N K H
+        x_minus = embed(-eigvecs[..., None])
+
+        dense_p, mask = to_dense_nodes(gb, x_plus, self.n_max)  # G M K H
+        dense_n, _ = to_dense_nodes(gb, x_minus, self.n_max)
+
+        G, Mx = dense_p.shape[:2]
+
+        def fold(d):  # G M K H -> (K G) M H
+            return jnp.moveaxis(d, 2, 0).reshape(self.k * G, Mx, self.hidden)
+
+        h = jnp.concatenate([fold(dense_p), fold(dense_n)], axis=0)
+        m = jnp.tile(mask[None], (self.k, 1, 1)).reshape(self.k * G, Mx)
+        m = jnp.concatenate([m, m], axis=0)
+        for i in range(self.num_layers):
+            h = TransformerEncoderLayer(self.hidden, n_head=self.num_heads,
+                                        name=f"sab_{i}")(h, mask=m,
+                                                         training=training)
+        h = h[:self.k * G] + h[self.k * G:]
+        h = h.reshape(self.k, G, Mx, self.hidden)
+        h = jnp.moveaxis(h, 0, 2)                              # G M K H
+        flat = from_dense_nodes(gb, h)                         # N K H
+        flat = flat.reshape(n, -1)
+        out = MLP(hidden=self.hidden, out=self.k, num_layers=4,
+                  use_bn=self.use_bn, dropout=self.dropout,
+                  activation=self.activation, name="rho")(flat,
+                                                          training=training)
+        return out

@@ -24,6 +24,41 @@ from .conv import GatedGCNLayer, GATConv, GINConv, GraphTransformerLayer, PNALay
 from .signnet import GINDeepSigns, MaskedGINDeepSigns
 
 
+def lapeig_loss(gb, p):
+    """Laplacian-eigenvector auxiliary loss for LSPE:
+    trace(p^T L p) and ||P^T P - I||_F^2 per graph, batched device-side
+    (reference computed these on host with scipy block_diag,
+    GraphPrediction/nets/ZINC_graph_regression/gin_net.py:140-174).
+
+    Returns (trace_term, ortho_term); caller combines as
+    (tr + lambda * ortho) / (k * batch_size * n).
+    """
+    deg = jnp.clip(gb.in_degrees(), 1.0, None)
+    dis = deg ** -0.5
+    # trace(p^T L p) = sum_i |p_i|^2 - sum_e p_s.p_r / sqrt(d_s d_r)
+    tr = (p ** 2 * gb.node_mask[:, None]).sum()
+    cross = ((p[gb.senders] * p[gb.receivers]).sum(-1)
+             * dis[gb.senders] * dis[gb.receivers] * gb.edge_mask).sum()
+    trace_term = tr - cross
+    # per-graph P^T P (outer products segment-summed over nodes)
+    outer = p[:, :, None] * p[:, None, :] * gb.node_mask[:, None, None]
+    ptp = seg.segment_sum(outer, gb.graph_id, gb.num_graphs)   # G K K
+    eye = jnp.eye(p.shape[1])[None]
+    ortho = (((ptp - eye) ** 2).sum((-2, -1)) * gb.graph_mask).sum()
+    return trace_term, ortho
+
+
+def normalize_p(gb, p):
+    """LSPE positional post-processing: center per graph, then divide by the
+    per-graph column L2 norm (reference: gin_net.py:105-120)."""
+    means = seg.pool_nodes(p, gb.graph_id, gb.num_graphs,
+                           node_mask=gb.node_mask, reduce="mean")
+    p = (p - means[gb.graph_id]) * gb.node_mask[:, None]
+    norms = jnp.sqrt(seg.pool_nodes(p ** 2, gb.graph_id, gb.num_graphs,
+                                    node_mask=gb.node_mask, reduce="sum"))
+    return p / jnp.maximum(norms[gb.graph_id], 1e-12)
+
+
 class _Base(nn.Module):
     """Shared config for ZINC nets."""
     num_atom_type: int = 28
@@ -56,8 +91,11 @@ class _Base(nn.Module):
         return GINDeepSigns(kind=kind, **kw)
 
     def embed_inputs(self, gb, pos_enc, training):
+        node_codes = gb.node_feat.astype(jnp.int32)
+        if node_codes.ndim == 2:
+            node_codes = node_codes[:, 0]
         h = Embedding(self.num_atom_type, self.hidden_dim,
-                      name="embedding_h")(gb.node_feat.astype(jnp.int32))
+                      name="embedding_h")(node_codes)
         h = nn.Dropout(self.in_feat_dropout, deterministic=not training)(h)
         p = None
         if self.pe_init in ("lap_pe", "rand_walk") and pos_enc is not None:
@@ -103,10 +141,13 @@ class GatedGCNNet(_Base):
 
 
 class GINNet(_Base):
-    """reference: GraphPrediction/nets/ZINC_graph_regression/gin_net.py"""
+    """reference: GraphPrediction/nets/ZINC_graph_regression/gin_net.py
+    (LSPE branch incl. p centering/normalization and Whp merge:
+    gin_net.py:105-124)."""
 
     @nn.compact
-    def __call__(self, gb, pos_enc=None, training: bool = True):
+    def __call__(self, gb, pos_enc=None, training: bool = True,
+                 return_p: bool = False):
         h, p, e = self.embed_inputs(gb, pos_enc, training)
         for i in range(self.n_layers):
             out_dim = self.hidden_dim if i < self.n_layers - 1 else self.out_dim
@@ -115,7 +156,15 @@ class GINNet(_Base):
                          name=f"mlp_{i}")
             h = GINConv(update, learn_eps=False,
                         name=f"layer_{i}")(gb, h, training=training)
-        return self.readout_head(gb, h, training)
+        if (self.pe_init == "rand_walk" or self.use_lspe) and p is not None:
+            p = Linear(self.pos_enc_dim, name="p_out")(p)
+            p = normalize_p(gb, p)
+            h = Linear(self.out_dim, name="Whp")(
+                jnp.concatenate([h, p], axis=-1))
+        out = self.readout_head(gb, h, training)
+        if return_p:
+            return out, p
+        return out
 
 
 class GATNet(_Base):

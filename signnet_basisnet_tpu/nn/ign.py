@@ -160,6 +160,31 @@ class EquivariantLayer(nn.Module):
         return out
 
 
+class BasicEquivariantLayer(nn.Module):
+    """The 4-op 'basic' 2->2 equivariant layer (identity, row-mean, col-mean,
+    total-mean broadcasts; reference: LearningFilters/ign.py:217-271)."""
+    out_depth: int
+
+    @nn.compact
+    def __call__(self, x):
+        m = x.shape[-1]
+        fm = float(m)
+        sum_cols = x.sum(-2) / fm
+        sum_rows = x.sum(-1) / fm
+        sum_all = sum_rows.sum(-1) / fm
+        ops = jnp.stack([
+            x,
+            jnp.broadcast_to(sum_cols[..., None, :], x.shape),
+            jnp.broadcast_to(sum_rows[..., :, None], x.shape),
+            jnp.broadcast_to(sum_all[..., None, None], x.shape),
+        ], axis=2)
+        d = x.shape[1]
+        coeffs = self.param("coeffs", _coeff_init, (d, self.out_depth, 4))
+        out = jnp.einsum("dsb,ndbij->nsij", coeffs, ops)
+        return out + self.param("bias", nn.initializers.zeros,
+                                (1, self.out_depth, 1, 1))
+
+
 class IGN2to1(nn.Module):
     """IGN stack: 2->1 then two 1->1 equivariant layers + pointwise MLP head.
 

@@ -1,27 +1,50 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Multi-device sharding tests use XLA's host-platform device-count override —
-the standard fake-backend trick for exercising pjit/shard_map collectives
-without TPU hardware.  Must run before jax is imported anywhere.
+This environment's `sitecustomize` registers the axon TPU PJRT plugin at
+interpreter startup (gated on PALLAS_AXON_POOL_IPS) and pins the JAX backend
+to the single TPU regardless of JAX_PLATFORMS.  Tests need CPU with 8
+virtual devices (the standard fake-backend trick for exercising
+pjit/shard_map collectives), so when the axon hook is active we re-exec
+pytest once with the hook disabled — inside pytest_configure, after stopping
+global capture so the original stdio fds are restored for the child.
 """
 import os
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+_NEEDS_REEXEC = bool(os.environ.get("PALLAS_AXON_POOL_IPS")) \
+    and not os.environ.get("SBT_TEST_REEXEC")
 
-import jax
+if not _NEEDS_REEXEC:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
-# persistent compilation cache: amortizes the (slow) CPU op compiles across
-# test runs on this small host (disable with SBT_NO_JAX_CACHE=1)
-if not os.environ.get("SBT_NO_JAX_CACHE"):
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NOTE: do NOT enable the jax persistent compilation cache here — with the
+# op-by-op compiles of eager module init it pathologically stalls this
+# 2-core host (observed: >10x slowdown / apparent hangs).
 
 import numpy as np
 import pytest
+
+
+def pytest_configure(config):
+    if not _NEEDS_REEXEC:
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""          # falsy -> sitecustomize no-op
+    env["SBT_TEST_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    os.execve(sys.executable,
+              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
 
 @pytest.fixture
