@@ -43,6 +43,9 @@ def bench_tpu(batches):
     from signnet_basisnet_tpu.training import (adam, build_steps, create_state,
                                                make_zinc_predict)
 
+    # host-side real-edge counts (device fetches through the TPU tunnel are
+    # expensive; never read device arrays inside the timed loop)
+    edge_counts = [float(np.asarray(b["edge_mask"]).sum()) for b in batches]
     gbs = [from_arrays(b) for b in batches]
     model = GINNet(hidden_dim=HIDDEN, out_dim=HIDDEN, n_layers=N_LAYERS,
                    pos_enc_dim=K, lap_method="sign_inv",
@@ -64,9 +67,8 @@ def bench_tpu(batches):
     edges = 0.0
     t0 = time.perf_counter()
     for i in range(STEPS):
-        gb = gbs[i % len(gbs)]
-        state, m = train_step(state, gb, lr, rng)
-        edges += float(np.asarray(gb.edge_mask).sum())
+        state, m = train_step(state, gbs[i % len(gbs)], lr, rng)
+        edges += edge_counts[i % len(gbs)]
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
     return edges / dt

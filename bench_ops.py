@@ -46,7 +46,12 @@ def main():
           f"({E / t_one / 1e6:.1f} Medges/s)")
 
     try:
-        starts, ends = ops.tile_edge_ranges(np.asarray(receivers), N, bn=256)
+        s_np, r_np, w_np = ops.pad_edges_to(np.asarray(senders),
+                                            np.asarray(receivers),
+                                            np.asarray(w), 256)
+        senders, receivers, w = (jnp.asarray(s_np), jnp.asarray(r_np),
+                                 jnp.asarray(w_np))
+        starts, ends = ops.tile_edge_ranges(r_np, N, bn=256)
         starts = jnp.asarray(starts); ends = jnp.asarray(ends)
         pal = lambda x, s, r, w: ops.spmm_pallas(x, s, r, w, starts, ends,
                                                  num_nodes=N)

@@ -179,7 +179,9 @@ def run(args, log=print):
                 "dropout": jax.random.PRNGKey(img + 1),
                 "sign_flip": jax.random.PRNGKey(img + 2)}
         kwargs = dict(eigvecs=eigvecs, eigvals=eigvals, projs=projs)
-        variables = model.init(rngs, gb, x, training=False, **kwargs)
+        from functools import partial as _partial
+        variables = jax.jit(_partial(model.init, training=False))(
+            rngs, gb, x, **kwargs)
         params, bs = variables["params"], variables.get("batch_stats", {})
         opt_state = tx.init(params)
         if img == 0:

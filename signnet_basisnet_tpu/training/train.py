@@ -40,8 +40,10 @@ def count_params(params) -> int:
 def create_state(model, example_gb, tx, rng=None, model_kwargs=None
                  ) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    variables = model.init({"params": rng}, example_gb, training=False,
-                           **(model_kwargs or {}))
+    # jit the whole init: one compiled program instead of per-op eager
+    # dispatch (critical on remote/tunneled TPU backends)
+    init_fn = jax.jit(partial(model.init, training=False))
+    variables = init_fn({"params": rng}, example_gb, **(model_kwargs or {}))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(params=params, batch_stats=batch_stats,
