@@ -35,6 +35,55 @@ def build_batches(num_batches=4, seed=0):
     return batches
 
 
+def bench_tpu_dense(seed=0, num_batches=4):
+    """Dense block-diagonal fast path: same model/params, adj@x aggregation."""
+    import jax
+    import jax.numpy as jnp
+    from signnet_basisnet_tpu.data import add_lap_pe, synthetic_zinc
+    from signnet_basisnet_tpu.graph.dense import (dense_batch_np,
+                                                  dense_from_arrays)
+    from signnet_basisnet_tpu.models import GINNet
+    from signnet_basisnet_tpu.training import (adam, build_steps, create_state,
+                                               make_zinc_predict)
+
+    splits = synthetic_zinc(num_train=BATCH_GRAPHS * num_batches,
+                            num_val=8, num_test=8, seed=seed)
+    train = splits["train"]
+    add_lap_pe(train, K)
+    edge_counts = []
+    gbs = []
+    for i in range(num_batches):
+        chunk = train[i * BATCH_GRAPHS:(i + 1) * BATCH_GRAPHS]
+        arrays = dense_batch_np(chunk, BATCH_GRAPHS, 40, k=K)
+        edge_counts.append(float(arrays["adj"].sum()))
+        gbs.append(dense_from_arrays(arrays))
+
+    model = GINNet(hidden_dim=HIDDEN, out_dim=HIDDEN, n_layers=N_LAYERS,
+                   pos_enc_dim=K, lap_method="sign_inv",
+                   sign_inv_layers=SIGN_INV_LAYERS, phi_out_dim=4,
+                   batch_norm=True, dropout=0.0)
+    tx = adam()
+    state = create_state(model, gbs[0], tx,
+                         model_kwargs={"pos_enc": gbs[0].eigvecs})
+    predict = make_zinc_predict(model, lap_method="sign_inv")
+    train_step, _ = build_steps(predict, tx, donate=False)
+
+    lr = jnp.float32(1e-3)
+    rng = jax.random.PRNGKey(0)
+    for i in range(WARMUP):
+        state, m = train_step(state, gbs[i % len(gbs)], lr, rng)
+    jax.block_until_ready(m["loss"])
+
+    edges = 0.0
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, m = train_step(state, gbs[i % len(gbs)], lr, rng)
+        edges += edge_counts[i % len(gbs)]
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return edges / dt
+
+
 def bench_tpu(batches):
     import jax
     import jax.numpy as jnp
@@ -147,7 +196,20 @@ def bench_torch_cpu(batches, steps=4):
 
 def main():
     batches = build_batches()
-    tpu_eps = bench_tpu(batches)
+    mode = os.environ.get("BENCH_MODE", "auto")
+    if mode == "flat":
+        tpu_eps = bench_tpu(batches)
+    elif mode == "dense":
+        tpu_eps = bench_tpu_dense()
+    else:  # auto: report the faster of the two representations
+        flat_eps = bench_tpu(batches)
+        try:
+            dense_eps = bench_tpu_dense()
+        except Exception:
+            dense_eps = 0.0
+        tpu_eps = max(flat_eps, dense_eps)
+        print(f"# flat={flat_eps:.0f} dense={dense_eps:.0f} edges/s",
+              file=sys.stderr)
     try:
         cpu_eps = bench_torch_cpu(batches)
     except Exception:

@@ -24,10 +24,39 @@ from ..nn.norm import MaskedBatchNorm
 
 
 def neighbor_sum(x, gb):
-    """sum_{j in N(i)} x_j — the SpMM core (masked, destination-sorted)."""
+    """sum_{j in N(i)} x_j.
+
+    Flat GraphBatch: masked destination-sorted segment sum (SpMM).
+    DenseGraphBatch: batched adj @ x on the MXU (zero scatter/gather).
+    """
+    from ..graph.dense import DenseGraphBatch, dense_neighbor_sum
+    if isinstance(gb, DenseGraphBatch):
+        return dense_neighbor_sum(gb.adj, x)
     msg = x[gb.senders]
     return seg.aggregate_edges(msg, gb.receivers, gb.num_nodes,
                                edge_mask=gb.edge_mask)
+
+
+def pool_any(gb, x, reduce="sum"):
+    """Per-graph pooling for either batch representation."""
+    from ..graph.dense import DenseGraphBatch, dense_pool
+    if isinstance(gb, DenseGraphBatch):
+        return dense_pool(x, gb.node_mask, reduce=reduce)
+    return seg.pool_nodes(x, gb.graph_id, gb.num_graphs,
+                          node_mask=gb.node_mask, reduce=reduce)
+
+
+def node_mask_of(gb):
+    """Flattened-compatible node mask for either representation."""
+    return gb.node_mask
+
+
+def node_mask_like(gb, x):
+    """gb's node mask broadcast to x.shape[:-1] (adds eigvec-channel axes)."""
+    m = gb.node_mask
+    while m.ndim < x.ndim - 1:
+        m = m[..., None]
+    return jnp.broadcast_to(m, x.shape[:-1])
 
 
 class GINConv(nn.Module):
@@ -48,7 +77,10 @@ class GINConv(nn.Module):
         eps = (self.param("eps", nn.initializers.zeros, ())
                if self.learn_eps else 0.0)
         out = (1.0 + eps) * x + agg
-        return self.update_net(out, training=training)
+        # BN inside the update net must ignore padding rows (the reference
+        # has no padding; stats run over true nodes only)
+        return self.update_net(out, training=training,
+                               mask=node_mask_like(gb, out))
 
 
 class GINEConv(nn.Module):
@@ -59,13 +91,21 @@ class GINEConv(nn.Module):
 
     @nn.compact
     def __call__(self, gb, x, edge_attr, training: bool = True):
-        msg = nn.relu(x[gb.senders] + edge_attr)
-        agg = seg.aggregate_edges(msg, gb.receivers, gb.num_nodes,
-                                  edge_mask=gb.edge_mask)
+        from ..graph.dense import DenseGraphBatch
+        if isinstance(gb, DenseGraphBatch):
+            # edge_attr: [G, M(dst), M(src), D]; relu(x_src + e) summed over
+            # sources with the adjacency mask — one einsum on the MXU
+            msg = nn.relu(x[:, None, :, :] + edge_attr)
+            agg = jnp.einsum("gmn,gmnd->gmd", gb.adj, msg)
+        else:
+            msg = nn.relu(x[gb.senders] + edge_attr)
+            agg = seg.aggregate_edges(msg, gb.receivers, gb.num_nodes,
+                                      edge_mask=gb.edge_mask)
         eps = (self.param("eps", nn.initializers.zeros, ())
                if self.learn_eps else 0.0)
         out = (1.0 + eps) * x + agg
-        return self.update_net(out, training=training)
+        return self.update_net(out, training=training,
+                               mask=node_mask_like(gb, out))
 
 
 class MaskedGINConv(nn.Module):

@@ -35,15 +35,16 @@ from .conv import GCNConv, GINConv, MaskedGINConv
 
 
 def sign_fuse(x, mask=None):
-    """Stack (+x, -x) along the k axis -> one phi call."""
-    x2 = jnp.concatenate([x, -x], axis=1)
-    m2 = None if mask is None else jnp.concatenate([mask, mask], axis=1)
+    """Stack (+x, -x) along the k axis (-2 of x, -1 of mask) -> one phi call.
+    Works for flat [N, K, D] and dense [G, M, K, D] layouts."""
+    x2 = jnp.concatenate([x, -x], axis=-2)
+    m2 = None if mask is None else jnp.concatenate([mask, mask], axis=-1)
     return x2, m2
 
 
 def sign_unfuse(y):
-    k = y.shape[1] // 2
-    return y[:, :k] + y[:, k:]
+    k = y.shape[-2] // 2
+    return y[..., :k, :] + y[..., k:, :]
 
 
 class GNN3d(nn.Module):
@@ -125,12 +126,13 @@ class _KChannelGNN(nn.Module):
 
     @nn.compact
     def __call__(self, gb, x, training: bool = True):
+        from .conv import node_mask_like
         for i in range(self.n_layers):
             if i != 0:
                 x = nn.Dropout(self.dropout, deterministic=not training)(x)
                 if self.use_bn:
                     x = MaskedBatchNorm(x.shape[-1], name=f"bn_{i - 1}")(
-                        x, training=training)
+                        x, mask=node_mask_like(gb, x), training=training)
             feats = self.out if i == self.n_layers - 1 else self.hidden
             if self.kind == "gin":
                 update = MLP(hidden=self.hidden, out=feats, num_layers=2,
@@ -167,13 +169,12 @@ class GINDeepSigns(nn.Module):
                            dropout=self.dropout, activation=self.activation,
                            name="enc")
         x2, _ = sign_fuse(x)
-        x = sign_unfuse(enc(gb, x2, training=training))  # N K phi_out
-        n = x.shape[0]
-        x = x.reshape(n, -1)
+        x = sign_unfuse(enc(gb, x2, training=training))  # [..., K, phi_out]
+        x = x.reshape(x.shape[:-2] + (-1,))
         x = MLP(hidden=self.hidden, out=self.k, num_layers=self.num_layers,
                 use_bn=self.use_bn, dropout=self.dropout,
                 activation=self.activation, name="rho")(x, training=training)
-        return x                                        # N K
+        return x                                        # [..., K]
 
 
 class MaskedGINDeepSigns(nn.Module):
@@ -194,11 +195,11 @@ class MaskedGINDeepSigns(nn.Module):
                            use_bn=self.use_bn, dropout=self.dropout,
                            activation=self.activation, name="enc")
         x2, _ = sign_fuse(x)
-        x = sign_unfuse(enc(gb, x2, training=training))  # N K phi_out
-        K = x.shape[1]
-        n_per_node = gb.nodes_per_graph()               # N
-        kmask = (jnp.arange(K)[None, :] < n_per_node[:, None]).astype(x.dtype)
-        x = (x * kmask[..., None]).sum(axis=1)          # N phi_out
+        x = sign_unfuse(enc(gb, x2, training=training))  # [..., K, phi_out]
+        K = x.shape[-2]
+        n_per_node = gb.nodes_per_graph()               # [N] or [G, M]
+        kmask = (jnp.arange(K) < n_per_node[..., None]).astype(x.dtype)
+        x = (x * kmask[..., None]).sum(axis=-2)         # [..., phi_out]
         x = MLP(hidden=self.hidden, out=self.k, num_layers=self.num_layers,
                 use_bn=self.use_bn, dropout=self.dropout,
                 activation=self.activation, name="rho")(x, training=training)

@@ -91,9 +91,15 @@ class _Base(nn.Module):
         return GINDeepSigns(kind=kind, **kw)
 
     def embed_inputs(self, gb, pos_enc, training):
+        from ..graph.dense import DenseGraphBatch
+        dense = isinstance(gb, DenseGraphBatch)
         node_codes = gb.node_feat.astype(jnp.int32)
-        if node_codes.ndim == 2:
+        # scalar atom codes: [N] flat, [G, M] dense; drop a trailing
+        # feature column if present
+        if node_codes.ndim == 2 and not dense:
             node_codes = node_codes[:, 0]
+        if node_codes.ndim == 3:
+            node_codes = node_codes[..., 0]
         h = Embedding(self.num_atom_type, self.hidden_dim,
                       name="embedding_h")(node_codes)
         h = nn.Dropout(self.in_feat_dropout, deterministic=not training)(h)
@@ -113,14 +119,17 @@ class _Base(nn.Module):
             e = Embedding(self.num_bond_type, self.hidden_dim,
                           name="embedding_e")(
                               gb.edge_feat.astype(jnp.int32))
+        elif dense:
+            e = Linear(self.hidden_dim, name="embedding_e")(
+                jnp.ones(gb.adj.shape + (1,), jnp.float32))
         else:
             e = Linear(self.hidden_dim, name="embedding_e")(
                 jnp.ones((gb.num_edges, 1), jnp.float32))
         return h, p, e
 
     def readout_head(self, gb, h, training):
-        hg = seg.pool_nodes(h, gb.graph_id, gb.num_graphs,
-                            node_mask=gb.node_mask, reduce=self.readout)
+        from .conv import pool_any
+        hg = pool_any(gb, h, reduce=self.readout)
         return MLPReadout(1, name="mlp_readout")(hg, training=training)[:, 0]
 
 

@@ -37,7 +37,7 @@ class MLP(nn.Module):
     bn_track_running_stats: bool = True
 
     @nn.compact
-    def __call__(self, x, training: bool = True):
+    def __call__(self, x, training: bool = True, mask=None):
         act = ACTIVATIONS[self.activation]
         if self.num_layers == 1:
             return Linear(self.out, name="lin_0")(x)
@@ -48,9 +48,9 @@ class MLP(nn.Module):
             if self.use_bn:
                 x = MaskedBatchNorm(
                     self.hidden, track_running_stats=self.bn_track_running_stats,
-                    name=f"bn_{i}")(x, training=training)
+                    name=f"bn_{i}")(x, mask=mask, training=training)
             if self.use_ln:
-                x = MaskedLayerNorm(self.hidden, name=f"ln_{i}")(x)
+                x = MaskedLayerNorm(self.hidden, name=f"ln_{i}")(x, mask=mask)
             if self.residual and x_prev.shape == x.shape:
                 x = x + x_prev
             x = nn.Dropout(self.dropout, deterministic=not training)(x)
@@ -70,7 +70,7 @@ class ElementsMLP(nn.Module):
     hidden: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, training: bool = True):
+    def __call__(self, x, training: bool = True, mask=None):
         nin = x.shape[-1]
         n_hid = nin if self.hidden is None else self.hidden
         for i in range(self.num_layers):
@@ -80,7 +80,8 @@ class ElementsMLP(nn.Module):
             x = Linear(feats, use_bias=use_bias, name=f"lin_{i}")(x)
             if i < self.num_layers - 1 or self.with_final_activation:
                 if self.with_norm:
-                    x = MaskedBatchNorm(feats, name=f"bn_{i}")(x, training=training)
+                    x = MaskedBatchNorm(feats, name=f"bn_{i}")(
+                        x, mask=mask, training=training)
                 x = nn.relu(x)
         return x
 

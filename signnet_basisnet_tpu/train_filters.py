@@ -172,55 +172,80 @@ def run(args, log=print):
     tx = adam()
     results = []
     x_all = jnp.asarray(data["x"])
+    kwargs = dict(eigvecs=eigvecs, eigvals=eigvals, projs=projs)
+    from functools import partial as _partial
+    init_fn = jax.jit(_partial(model.init, training=False))
+
+    # One jitted step shared across all images (x/y are runtime args, so the
+    # per-image fresh-model protocol never retriggers compilation).
+    def train_step(params, bs, opt_state, rng, x, y):
+        def loss_fn(p):
+            pred, upd = model.apply(
+                {"params": p, "batch_stats": bs}, gb, x, training=True,
+                rngs={"dropout": rng, "sign_flip": rng},
+                mutable=["batch_stats"], **kwargs)
+            return M.masked_mse_sum(pred, y, mask), \
+                (pred, upd.get("batch_stats", bs))
+        (loss, (pred, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        upds, new_opt = tx.update(grads, opt_state, params)
+        upds = scale_updates(upds, args.lr)
+        new_params = jax.tree.map(lambda a, b: a + b, params, upds)
+        r2 = M.masked_r2(pred, y, mask)
+        return new_params, new_bs, new_opt, loss, r2
+
+    jit_step_shared = jax.jit(train_step)
+
+    # Device-side epoch blocks: lax.scan over `scan_epochs` full-batch steps
+    # per launch, tracking the best (loss, r2) in the carry — removes the
+    # per-epoch host round-trip (the bottleneck on a tunneled TPU backend).
+    def epoch_block(params, bs, opt_state, best_loss, best_r2, rngs_blk, x, y):
+        def body(carry, rng):
+            params, bs, opt_state, best_loss, best_r2 = carry
+            params, bs, opt_state, loss, r2 = train_step(
+                params, bs, opt_state, rng, x, y)
+            better = loss < best_loss
+            best_loss = jnp.where(better, loss, best_loss)
+            best_r2 = jnp.where(better, r2, best_r2)
+            return (params, bs, opt_state, best_loss, best_r2), None
+        (params, bs, opt_state, best_loss, best_r2), _ = jax.lax.scan(
+            body, (params, bs, opt_state, best_loss, best_r2), rngs_blk)
+        return params, bs, opt_state, best_loss, best_r2
+
+    jit_block = jax.jit(epoch_block)
+
     for img in range(args.img_num):
         x = x_all[:, img:img + 1]
         y = jnp.asarray(y_all[:, img:img + 1])
         rngs = {"params": jax.random.PRNGKey(img),
                 "dropout": jax.random.PRNGKey(img + 1),
                 "sign_flip": jax.random.PRNGKey(img + 2)}
-        kwargs = dict(eigvecs=eigvecs, eigvals=eigvals, projs=projs)
-        from functools import partial as _partial
-        variables = jax.jit(_partial(model.init, training=False))(
-            rngs, gb, x, **kwargs)
+        variables = init_fn(rngs, gb, x, **kwargs)
         params, bs = variables["params"], variables.get("batch_stats", {})
         opt_state = tx.init(params)
         if img == 0:
             log(f"PARAMETERS: {count_params(params)}")
 
-        def train_step(params, bs, opt_state, rng):
-            def loss_fn(p):
-                pred, upd = model.apply(
-                    {"params": p, "batch_stats": bs}, gb, x, training=True,
-                    rngs={"dropout": rng, "sign_flip": rng},
-                    mutable=["batch_stats"], **kwargs)
-                return M.masked_mse_sum(pred, y, mask), \
-                    (pred, upd.get("batch_stats", bs))
-            (loss, (pred, new_bs)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            upds, new_opt = tx.update(grads, opt_state, params)
-            upds = scale_updates(upds, args.lr)
-            new_params = jax.tree.map(lambda a, b: a + b, params, upds)
-            r2 = M.masked_r2(pred, y, mask)
-            return new_params, new_bs, new_opt, loss, r2
-
-        jit_step = jax.jit(train_step)
-        best_loss, best_r2, best_ep = float("inf"), 0.0, 0
         t0 = time.time()
         rng = jax.random.PRNGKey(1000 + img)
-        for ep in range(args.epochs):
+        blk = max(1, min(args.scan_epochs, args.epochs))
+        best_loss = jnp.float32(jnp.inf)
+        best_r2 = jnp.float32(0.0)
+        done = 0
+        while done < args.epochs:
+            n = min(blk, args.epochs - done)
             rng, sub = jax.random.split(rng)
-            params, bs, opt_state, loss, r2 = jit_step(params, bs, opt_state,
-                                                       sub)
-            loss = float(loss)
-            if loss < best_loss:
-                best_loss, best_r2, best_ep = loss, float(r2), ep
-            if ep % 100 == 0:
-                log(f"img {img} epoch {ep} min_loss {best_loss:.6f} "
-                    f"best_r2 {best_r2:.4f} ({time.time() - t0:.1f}s)")
+            rngs_blk = jax.random.split(sub, blk)  # fixed size: one compile
+            params, bs, opt_state, best_loss, best_r2 = jit_block(
+                params, bs, opt_state, best_loss, best_r2, rngs_blk, x, y)
+            done += blk
+            if done % 500 < blk or done >= args.epochs:
+                log(f"img {img} epoch {done} min_loss {float(best_loss):.6f} "
+                    f"best_r2 {float(best_r2):.4f} ({time.time() - t0:.1f}s)")
                 t0 = time.time()
+        best_loss, best_r2 = float(best_loss), float(best_r2)
         results.append([best_loss, best_r2])
-        log(f"img {img + 1}: loss={best_loss:.6f} r2={best_r2:.4f} "
-            f"epoch={best_ep}")
+        log(f"img {img + 1}: loss={best_loss:.6f} r2={best_r2:.4f}")
 
     arr = np.array(results)
     log(f"mean loss= {arr[:, 0].mean():.8f} stdev= {arr[:, 0].std():.8f} "
@@ -252,6 +277,8 @@ def build_parser():
     ap.add_argument("--basis_inv_net", default="IGN")
     ap.add_argument("--hidden_channels", type=int, default=32)
     ap.add_argument("--num_layers", type=int, default=2)
+    ap.add_argument("--scan_epochs", type=int, default=100,
+                    help="epochs per on-device lax.scan block")
     ap.add_argument("--k", type=int, default=0,
                     help="use only first k eigvecs (0 = all)")
     ap.add_argument("--mat_path", default="data/2dgrid/2Dgrid.mat")
