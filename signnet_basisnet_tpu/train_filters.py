@@ -178,12 +178,12 @@ def run(args, log=print):
 
     # One jitted step shared across all images (x/y are runtime args, so the
     # per-image fresh-model protocol never retriggers compilation).
-    def train_step(params, bs, opt_state, rng, x, y):
+    def train_step(params, bs, opt_state, rng, x, y, eig_kwargs):
         def loss_fn(p):
             pred, upd = model.apply(
                 {"params": p, "batch_stats": bs}, gb, x, training=True,
                 rngs={"dropout": rng, "sign_flip": rng},
-                mutable=["batch_stats"], **kwargs)
+                mutable=["batch_stats"], **eig_kwargs)
             return M.masked_mse_sum(pred, y, mask), \
                 (pred, upd.get("batch_stats", bs))
         (loss, (pred, new_bs)), grads = jax.value_and_grad(
@@ -199,11 +199,12 @@ def run(args, log=print):
     # Device-side epoch blocks: lax.scan over `scan_epochs` full-batch steps
     # per launch, tracking the best (loss, r2) in the carry — removes the
     # per-epoch host round-trip (the bottleneck on a tunneled TPU backend).
-    def epoch_block(params, bs, opt_state, best_loss, best_r2, rngs_blk, x, y):
+    def epoch_block(params, bs, opt_state, best_loss, best_r2, rngs_blk, x, y,
+                    eig_kwargs):
         def body(carry, rng):
             params, bs, opt_state, best_loss, best_r2 = carry
             params, bs, opt_state, loss, r2 = train_step(
-                params, bs, opt_state, rng, x, y)
+                params, bs, opt_state, rng, x, y, eig_kwargs)
             better = loss < best_loss
             best_loss = jnp.where(better, loss, best_loss)
             best_r2 = jnp.where(better, r2, best_r2)
@@ -237,7 +238,8 @@ def run(args, log=print):
             rng, sub = jax.random.split(rng)
             rngs_blk = jax.random.split(sub, blk)  # fixed size: one compile
             params, bs, opt_state, best_loss, best_r2 = jit_block(
-                params, bs, opt_state, best_loss, best_r2, rngs_blk, x, y)
+                params, bs, opt_state, best_loss, best_r2, rngs_blk, x, y,
+                kwargs)
             done += blk
             if done % 500 < blk or done >= args.epochs:
                 log(f"img {img} epoch {done} min_loss {float(best_loss):.6f} "
