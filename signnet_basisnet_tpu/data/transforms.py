@@ -13,7 +13,11 @@ from typing import List
 import numpy as np
 
 
-def make_full_graph(g: dict) -> dict:
+def make_full_graph(g: dict, adaptive_weighting=None) -> dict:
+    """Complete-graph transform; `adaptive_weighting=(p_steps, gamma)` adds
+    the GraphiT random-walk kernel weight k_RW = (I - gamma*L)^p_steps per
+    full-graph edge as `k_rw` (reference: molecules.py:238-274).  p_steps may
+    be an int or one of {qtr,half,'',twice}_num_nodes strings."""
     n = int(np.asarray(g["node_feat"]).shape[0])
     s, r = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
     keep = s != r
@@ -39,8 +43,23 @@ def make_full_graph(g: dict) -> dict:
     out = dict(g)
     out.update(senders=senders, receivers=receivers, edge_feat=edge_feat,
                edge_real=edge_real)
+
+    if adaptive_weighting is not None:
+        p_steps, gamma = adaptive_weighting
+        if isinstance(p_steps, str):
+            p_steps = int(n * {"qtr_num_nodes": 0.25, "half_num_nodes": 0.5,
+                               "num_nodes": 1.0,
+                               "twice_num_nodes": 2.0}[p_steps])
+        A = np.zeros((n, n), np.float64)
+        A[np.asarray(g["senders"]), np.asarray(g["receivers"])] = 1.0
+        deg = np.clip(A.sum(0), 1.0, None)          # in-degrees, clipped at 1
+        Dm = deg ** -0.5
+        L = np.eye(n) - (Dm[:, None] * A * Dm[None, :])
+        k_rw_power = np.linalg.matrix_power(np.eye(n) - gamma * L,
+                                            max(int(p_steps), 1))
+        out["k_rw"] = k_rw_power[senders, receivers].astype(np.float32)
     return out
 
 
-def make_full_graphs(graphs: List[dict]) -> List[dict]:
-    return [make_full_graph(g) for g in graphs]
+def make_full_graphs(graphs: List[dict], adaptive_weighting=None) -> List[dict]:
+    return [make_full_graph(g, adaptive_weighting) for g in graphs]

@@ -199,14 +199,16 @@ def batch_np(
         pad_shape = (num_graphs - ys.shape[0],) + ys.shape[1:]
         out["y"] = np.concatenate([ys, np.zeros(pad_shape, ys.dtype)], axis=0)
 
-    # optional per-edge extras (e.g. 'edge_real' full-graph flags)
-    if all("edge_real" in g for g in graphs):
-        er = np.concatenate([np.asarray(g["edge_real"], np.float32)
-                             for g in graphs])
-        er = _pad_rows(er, num_edges)
-        if order is not None:
-            er = er[order]
-        out["edge_real"] = er
+    # optional per-edge extras ('edge_real' full-graph flags; 'k_rw' GraphiT
+    # adaptive random-walk kernel weights)
+    for extra in ("edge_real", "k_rw"):
+        if all(extra in g for g in graphs):
+            er = np.concatenate([np.asarray(g[extra], np.float32)
+                                 for g in graphs])
+            er = _pad_rows(er, num_edges)
+            if order is not None:
+                er = er[order]
+            out[extra] = er
 
     if has["eigvecs"]:
         if k is None:

@@ -173,15 +173,22 @@ class GATConv(nn.Module):
     def __call__(self, gb, x, edge_attr=None, training: bool = True):
         del edge_attr, training
         H, F = self.num_heads, self.features
-        h = Linear(H * F, use_bias=False, name="weight")(x).reshape(-1, H, F)
+        # shape-polymorphic: x may be [N, D] or [N, K, D] (k-channel phi);
+        # gathers ride axis 0, segment masks broadcast over the middle axes
+        h = Linear(H * F, use_bias=False, name="weight")(x)
+        h = h.reshape(h.shape[:-1] + (H, F))
         a_src = self.param("attn_src", nn.initializers.glorot_uniform(), (1, H, F))
         a_dst = self.param("attn_dst", nn.initializers.glorot_uniform(), (1, H, F))
-        el = (h * a_src).sum(-1)  # [N, H]
+        el = (h * a_src).sum(-1)  # [N, ..., H]
         er = (h * a_dst).sum(-1)
 
         senders, receivers, emask = gb.senders, gb.receivers, gb.edge_mask
-        scores = el[senders] + er[receivers]                  # [E, H]
+        scores = el[senders] + er[receivers]                  # [E, ..., H]
         scores = nn.leaky_relu(scores, negative_slope=self.negative_slope)
+
+        def bmask(ref):
+            return emask.reshape(emask.shape + (1,) * (ref.ndim - 1))
+
         if self.add_self_loops:
             # fold self-loop contribution in by appending virtual edges is
             # shape-hostile; instead compute softmax including the self term
@@ -190,7 +197,7 @@ class GATConv(nn.Module):
             m = seg.segment_max(scores, receivers, gb.num_nodes, mask=emask,
                                 empty_value=-1e30)
             m = jnp.maximum(m, self_scores)
-            ex = jnp.exp(scores - m[receivers]) * emask[:, None]
+            ex = jnp.exp(scores - m[receivers]) * bmask(scores)
             ex_self = jnp.exp(self_scores - m)
             denom = seg.segment_sum(ex, receivers, gb.num_nodes) + ex_self
             alpha = ex / jnp.maximum(denom, 1e-16)[receivers]
@@ -201,10 +208,12 @@ class GATConv(nn.Module):
             alpha = seg.segment_softmax(scores, receivers, gb.num_nodes,
                                         mask=emask)
             agg = seg.segment_sum(alpha[..., None] * h[senders] *
-                                  emask[:, None, None], receivers, gb.num_nodes)
+                                  bmask(scores)[..., None], receivers,
+                                  gb.num_nodes)
         bias = self.param("bias", nn.initializers.zeros,
                           (H * F,) if self.concat else (F,))
-        out = agg.reshape(-1, H * F) if self.concat else agg.mean(axis=1)
+        out = (agg.reshape(agg.shape[:-2] + (H * F,)) if self.concat
+               else agg.mean(axis=-2))
         out = out + bias
         if self.activation:
             out = ACTIVATIONS[self.activation](out)
@@ -256,6 +265,65 @@ class GatedGCNLayer(nn.Module):
         h_new = nn.Dropout(self.dropout, deterministic=not training)(h_new)
         e_new = nn.Dropout(self.dropout, deterministic=not training)(e_new)
         return h_new, e_new
+
+
+class GatedGCNLSPELayer(nn.Module):
+    """GatedGCN layer with learnable structural+positional channels (LSPE).
+
+    The reference net instantiates ``GatedGCNLSPELayer`` for its LSPE path
+    (reference: GraphPrediction/nets/ZINC_graph_regression/gatedgcn_net.py:63-65)
+    but never defines or imports that class anywhere in the repo — the path
+    crashes with a NameError as shipped.  This implements the intended layer
+    per the MPGNNs-LSPE equations (Dwivedi et al., "Graph Neural Networks with
+    Learnable Structural and Positional Representations", eqs. 9-11):
+
+        ehat_ij = B1 h_i + B2 h_j + B3 e_ij ;  eta = sigma(ehat)
+        h_i' = h_i + ReLU(BN(A1 [h_i||p_i] + sum_j eta .* A2 [h_j||p_j] / (sum eta + eps)))
+        p_i' = p_i + tanh(C1 p_i + sum_j eta .* C2 p_j / (sum eta + eps))
+        e_ij' = e_ij + ReLU(BN(ehat_ij))
+    """
+    features: int
+    dropout: float = 0.0
+    batch_norm: bool = True
+    residual: bool = True
+
+    @nn.compact
+    def __call__(self, gb, h, p, e, snorm_n=None, training: bool = True):
+        del snorm_n
+        h_in, p_in, e_in = h, p, e
+        hp = jnp.concatenate([h, p], axis=-1)
+        A1hp = Linear(self.features, name="A1")(hp)
+        A2hp = Linear(self.features, name="A2")(hp)
+        B1h = Linear(self.features, name="B1")(h)
+        B2h = Linear(self.features, name="B2")(h)
+        B3e = Linear(self.features, name="B3")(e)
+        C1p = Linear(self.features, name="C1")(p)
+        C2p = Linear(self.features, name="C2")(p)
+
+        e_new = B1h[gb.receivers] + B2h[gb.senders] + B3e
+        eta = nn.sigmoid(e_new) * gb.edge_mask[:, None]
+        sum_eta = seg.segment_sum(eta, gb.receivers, gb.num_nodes) + 1e-6
+
+        h_new = A1hp + seg.segment_sum(eta * A2hp[gb.senders], gb.receivers,
+                                       gb.num_nodes) / sum_eta
+        p_new = C1p + seg.segment_sum(eta * C2p[gb.senders], gb.receivers,
+                                      gb.num_nodes) / sum_eta
+
+        if self.batch_norm:
+            h_new = MaskedBatchNorm(self.features, name="bn_h")(
+                h_new, mask=gb.node_mask, training=training)
+            e_new = MaskedBatchNorm(self.features, name="bn_e")(
+                e_new, mask=gb.edge_mask, training=training)
+        h_new = nn.relu(h_new)
+        e_new = nn.relu(e_new)
+        p_new = jnp.tanh(p_new)
+        if self.residual and h_in.shape == h_new.shape:
+            h_new = h_in + h_new
+            e_new = e_in + e_new
+            p_new = p_in + p_new
+        h_new = nn.Dropout(self.dropout, deterministic=not training)(h_new)
+        e_new = nn.Dropout(self.dropout, deterministic=not training)(e_new)
+        return h_new, p_new, e_new
 
 
 # ---------------------------------------------------------------------------
@@ -401,6 +469,61 @@ class PNALayer(nn.Module):
         out = jnp.concatenate(outs, axis=-1)
         out = Linear(self.features, name="mixing")(out)
         out = nn.leaky_relu(out, negative_slope=0.01)
+        if self.residual and h_in.shape == out.shape:
+            out = h_in + out
+        return out
+
+
+class PNANoTowersLayer(nn.Module):
+    """Towerless PNA / DGN-style layer (reference:
+    GraphPrediction/layers/pna_layer.py:168-269).
+
+    Reference quirks preserved: the pretrans edge MLP runs only when
+    `edge_features`; without edge features the mailbox holds raw neighbor
+    features and posttrans sees only the aggregations (no [h, agg] concat);
+    scalers apply only when more than one is configured (pna_layer.py:226);
+    graph-norm applies only when `edge_features` (pna_layer.py:249-251).
+    """
+    features: int
+    aggregators: Sequence[str]
+    scalers: Sequence[str]
+    avg_d_log: float
+    dropout: float = 0.0
+    graph_norm: bool = True
+    batch_norm: bool = True
+    residual: bool = True
+    edge_features: bool = False
+    pretrans_layers: int = 1
+    posttrans_layers: int = 1
+
+    @nn.compact
+    def __call__(self, gb, h, e, snorm_n=None, training: bool = True):
+        in_dim = h.shape[-1]
+        h = nn.Dropout(self.dropout, deterministic=not training)(h)
+        h_in = h
+        if self.edge_features:
+            z = jnp.concatenate([h[gb.senders], h[gb.receivers], e], axis=-1)
+            msg = MLP(hidden=in_dim, out=in_dim,
+                      num_layers=self.pretrans_layers, activation="relu",
+                      name="pretrans_h")(z, training=training)
+        else:
+            msg = h[gb.senders]
+        aggs, deg = pna_aggregate(msg, gb, self.aggregators)
+        hcat = jnp.concatenate(aggs, axis=-1)
+        if len(self.scalers) > 1:
+            hcat = jnp.concatenate(
+                pna_scale(hcat, deg, self.avg_d_log, self.scalers), axis=-1)
+        if self.edge_features:
+            hcat = jnp.concatenate([h, hcat], axis=-1)
+        out = MLP(hidden=self.features, out=self.features,
+                  num_layers=self.posttrans_layers, activation="relu",
+                  name="posttrans_h")(hcat, training=training)
+        if self.graph_norm and self.edge_features and snorm_n is not None:
+            out = out * snorm_n
+        if self.batch_norm:
+            out = MaskedBatchNorm(self.features, name="bn_h")(
+                out, mask=gb.node_mask, training=training)
+        out = nn.relu(out)
         if self.residual and h_in.shape == out.shape:
             out = h_in + out
         return out

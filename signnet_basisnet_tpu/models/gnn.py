@@ -58,16 +58,21 @@ class GNN(nn.Module):
     node_vocab: int = 100
     edge_vocab: int = 100
     use_size_embedder: bool = False
+    dos_bins: int = 0    # (L)DOS features (reference: core/model.py:11-29,
+    #                      125-131): node-level pdos concat + graph-level dos
 
     @nn.compact
     def __call__(self, gb, additional_x=None, training: bool = True):
+        nin = self.nhid - self.dos_bins
         if self.nfeat_node is None:
-            x = DiscreteEncoder(self.nhid, max_num_values=self.node_vocab,
+            x = DiscreteEncoder(nin, max_num_values=self.node_vocab,
                                 name="input_encoder")(gb.node_feat)
         else:
-            x = ElementsMLP(self.nhid, num_layers=1,
+            x = ElementsMLP(nin, num_layers=1,
                             name="input_encoder")(
                 gb.node_feat.astype(jnp.float32), training=training)
+        if self.dos_bins > 0:
+            x = jnp.concatenate([x, gb.extras["pdos"]], axis=-1)
         if additional_x is not None:
             x = Linear(self.nhid, name="merge")(
                 jnp.concatenate([x, additional_x], axis=-1))
@@ -105,6 +110,11 @@ class GNN(nn.Module):
         else:
             hg = seg.pool_nodes(x, gb.graph_id, gb.num_graphs,
                                 node_mask=gb.node_mask, reduce="sum")
+        if self.dos_bins > 0:
+            hg = hg + ElementsMLP(self.nhid, num_layers=2,
+                                  with_final_activation=False,
+                                  name="dos_encoder")(
+                gb.extras["dos"], training=training)
         out = ElementsMLP(self.nout, num_layers=2, with_final_activation=False,
                           with_norm=(self.pooling != "mean"),
                           name="output_encoder")(hg, training=training)

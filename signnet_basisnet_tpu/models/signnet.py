@@ -113,9 +113,13 @@ class SignPlus(nn.Module):
 
 
 class _KChannelGNN(nn.Module):
-    """GIN or GCN phi over [N, K, D] x (the DGL k-channel encoders, reference:
-    GraphPrediction/layers/gnns.py:15-114).  BN inside the MLPs normalizes
-    per-feature over all N*K slots, matching the reference's 3-D BN path."""
+    """GIN, GCN, or GAT phi over [N, K, D] x (the DGL k-channel encoders,
+    reference: GraphPrediction/layers/gnns.py:15-114).  BN inside the MLPs
+    normalizes per-feature over all N*K slots, matching the reference's 3-D
+    BN path.  The GAT variant keeps [N, K, D] shape by averaging heads (the
+    reference's GAT phi stacks DGL GATConvs without flattening the heads axis,
+    gnns.py:48-79, which grows tensor rank per layer and cannot run as
+    written; head-mean is the shape-preserving completion of its intent)."""
     kind: str
     hidden: int
     out: int
@@ -123,6 +127,7 @@ class _KChannelGNN(nn.Module):
     use_bn: bool = True
     dropout: float = 0.0
     activation: str = "relu"
+    num_heads: int = 4
 
     @nn.compact
     def __call__(self, gb, x, training: bool = True):
@@ -143,6 +148,12 @@ class _KChannelGNN(nn.Module):
             elif self.kind == "gcn":
                 act = self.activation if i < self.n_layers - 1 else None
                 x = GCNConv(feats, add_self_loops=False, activation=act,
+                            name=f"conv_{i}")(gb, x, training=training)
+            elif self.kind == "gat":
+                from .conv import GATConv
+                act = self.activation if i < self.n_layers - 1 else None
+                x = GATConv(feats, num_heads=self.num_heads, concat=False,
+                            add_self_loops=False, activation=act,
                             name=f"conv_{i}")(gb, x, training=training)
             else:
                 raise ValueError(self.kind)

@@ -20,8 +20,9 @@ from flax import linen as nn
 from ..graph import segment as seg
 from ..nn.init import Embedding, Linear
 from ..nn.mlp import MLP, MLPReadout
-from .conv import GatedGCNLayer, GATConv, GINConv, GraphTransformerLayer, PNALayer
-from .signnet import GINDeepSigns, MaskedGINDeepSigns
+from .conv import (GatedGCNLayer, GatedGCNLSPELayer, GATConv, GINConv,
+                   GraphTransformerLayer, PNALayer, PNANoTowersLayer)
+from .signnet import GINDeepSigns, MaskedGINDeepSigns, TransformerDeepSigns
 
 
 def lapeig_loss(gb, p):
@@ -80,15 +81,23 @@ class _Base(nn.Module):
     phi_out_dim: int = 4
     pe_aggregate: str = "add"         # add | concat
     use_lspe: bool = False
+    max_nodes: int = 40               # dense n_max for the transformer phi
 
     def sign_inv_module(self):
+        """sign_inv_net factory (reference:
+        GraphPrediction/nets/ZINC_graph_regression/sign_inv_net.py:3-17)."""
+        if self.sign_inv_net == "transformer":
+            return TransformerDeepSigns(
+                hidden=self.hidden_dim, num_layers=min(self.sign_inv_layers, 4),
+                k=self.pos_enc_dim, n_max=self.max_nodes, name="sign_inv_net")
         kw = dict(hidden=self.hidden_dim, phi_out=self.phi_out_dim,
                   num_layers=self.sign_inv_layers, k=self.pos_enc_dim,
                   use_bn=False, dropout=0.0, name="sign_inv_net")
         if self.sign_inv_net == "masked_gin":
             return MaskedGINDeepSigns(**kw)
-        kind = "gcn" if self.sign_inv_net == "gcn" else "gin"
-        return GINDeepSigns(kind=kind, **kw)
+        if self.sign_inv_net not in ("gin", "gcn", "gat"):
+            raise ValueError(f"unknown sign_inv_net {self.sign_inv_net!r}")
+        return GINDeepSigns(kind=self.sign_inv_net, **kw)
 
     def embed_inputs(self, gb, pos_enc, training):
         from ..graph.dense import DenseGraphBatch
@@ -134,19 +143,40 @@ class _Base(nn.Module):
 
 
 class GatedGCNNet(_Base):
-    """reference: GraphPrediction/nets/ZINC_graph_regression/gatedgcn_net.py"""
+    """reference: GraphPrediction/nets/ZINC_graph_regression/gatedgcn_net.py.
+
+    The ZINC net disables graph-norm in its GatedGCN layers
+    (gatedgcn_net.py:69-71).  The LSPE branch runs GatedGCNLSPELayer with
+    learned p-channel updates, then the p_out/normalize/Whp merge
+    (gatedgcn_net.py:115-133; the reference's LSPE layer class is undefined in
+    the repo — see conv.GatedGCNLSPELayer)."""
 
     @nn.compact
-    def __call__(self, gb, pos_enc=None, training: bool = True):
+    def __call__(self, gb, pos_enc=None, training: bool = True,
+                 return_p: bool = False):
         h, p, e = self.embed_inputs(gb, pos_enc, training)
-        snorm = gb.snorm()
+        lspe = self.use_lspe or self.pe_init == "rand_walk"
         for i in range(self.n_layers):
-            h, e = GatedGCNLayer(
-                self.hidden_dim if i < self.n_layers - 1 else self.out_dim,
-                dropout=self.dropout, batch_norm=self.batch_norm,
-                residual=self.residual, name=f"layer_{i}")(
-                    gb, h, e, snorm, training=training)
-        return self.readout_head(gb, h, training)
+            out_dim = self.hidden_dim if i < self.n_layers - 1 else self.out_dim
+            if lspe and p is not None:
+                h, p, e = GatedGCNLSPELayer(
+                    out_dim, dropout=self.dropout,
+                    batch_norm=self.batch_norm, residual=self.residual,
+                    name=f"layer_{i}")(gb, h, p, e, training=training)
+            else:
+                h, e = GatedGCNLayer(
+                    out_dim, dropout=self.dropout, batch_norm=self.batch_norm,
+                    residual=self.residual, graph_norm=False,
+                    name=f"layer_{i}")(gb, h, e, None, training=training)
+        if lspe and p is not None:
+            p = Linear(self.pos_enc_dim, name="p_out")(p)
+            p = normalize_p(gb, p)
+            h = Linear(self.out_dim, name="Whp")(
+                jnp.concatenate([h, p], axis=-1))
+        out = self.readout_head(gb, h, training)
+        if return_p:
+            return out, p
+        return out
 
 
 class GINNet(_Base):
@@ -205,21 +235,38 @@ class PNANet(_Base):
     graph_norm: bool = True
     pretrans_layers: int = 1
     posttrans_layers: int = 1
+    gru: bool = False                 # GRU between layers (pna_net.py:128-132)
+    no_towers: bool = False           # PNANoTowersLayer / DGN-style stack
 
     @nn.compact
     def __call__(self, gb, pos_enc=None, training: bool = True):
+        from ..nn.set2set import GRUStep
         h, p, e = self.embed_inputs(gb, pos_enc, training)
         snorm = gb.snorm()
+        gru = GRUStep(self.hidden_dim, name="gru") if self.gru else None
         for i in range(self.n_layers):
-            h = PNALayer(
-                self.hidden_dim, self.aggregators, self.scalers,
-                self.avg_d_log, towers=self.towers, dropout=self.dropout,
-                graph_norm=self.graph_norm, batch_norm=self.batch_norm,
-                residual=self.residual, edge_features=self.edge_feat,
-                divide_input=self.divide_input,
-                pretrans_layers=self.pretrans_layers,
-                posttrans_layers=self.posttrans_layers,
-                name=f"layer_{i}")(gb, h, e, snorm, training=training)
+            if self.no_towers:
+                h_t = PNANoTowersLayer(
+                    self.hidden_dim, self.aggregators, self.scalers,
+                    self.avg_d_log, dropout=self.dropout,
+                    graph_norm=self.graph_norm, batch_norm=self.batch_norm,
+                    residual=self.residual, edge_features=self.edge_feat,
+                    pretrans_layers=self.pretrans_layers,
+                    posttrans_layers=self.posttrans_layers,
+                    name=f"layer_{i}")(gb, h, e, snorm, training=training)
+            else:
+                h_t = PNALayer(
+                    self.hidden_dim, self.aggregators, self.scalers,
+                    self.avg_d_log, towers=self.towers, dropout=self.dropout,
+                    graph_norm=self.graph_norm, batch_norm=self.batch_norm,
+                    residual=self.residual, edge_features=self.edge_feat,
+                    divide_input=self.divide_input,
+                    pretrans_layers=self.pretrans_layers,
+                    posttrans_layers=self.posttrans_layers,
+                    name=f"layer_{i}")(gb, h, e, snorm, training=training)
+            if gru is not None and i != self.n_layers - 1:
+                h_t = gru(h, h_t)
+            h = h_t
         return self.readout_head(gb, h, training)
 
 

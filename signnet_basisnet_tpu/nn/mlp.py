@@ -126,3 +126,20 @@ class MLPReadout(nn.Module):
             x = Linear(dim // 2 ** (l + 1), name=f"fc_{l}")(x)
             x = nn.relu(x)
         return Linear(self.out, name=f"fc_{self.num_hidden_layers}")(x)
+
+
+class MLPReadout2(nn.Module):
+    """MLPReadout with dropout before every hidden linear (reference:
+    GraphPrediction/layers/mlp_readout_layer.py:28-45)."""
+    out: int
+    num_hidden_layers: int = 2
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, training: bool = True):
+        dim = x.shape[-1]
+        for l in range(self.num_hidden_layers):
+            x = nn.Dropout(self.dropout, deterministic=not training)(x)
+            x = Linear(dim // 2 ** (l + 1), name=f"fc_{l}")(x)
+            x = nn.relu(x)
+        return Linear(self.out, name=f"fc_{self.num_hidden_layers}")(x)

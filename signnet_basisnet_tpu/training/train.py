@@ -22,7 +22,7 @@ import numpy as np
 from flax import struct
 
 from . import metrics as M
-from .optim import ReduceLROnPlateau, adam, scale_updates
+from .optim import ReduceLROnPlateau, StepLR, adam, scale_updates
 
 
 @struct.dataclass
@@ -196,3 +196,77 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
     return FitResult(state=state, history=history, test_mae=test["mae"],
                      val_mae=val["mae"], epochs_run=epochs_run,
                      wall_time=time.time() - t0)
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation (reference: GINESignNetPyG/core/train.py:81-179,
+# split util :210-221)
+# ---------------------------------------------------------------------------
+
+def k_fold_split(n: int, k: int = 10, seed: int = 0):
+    """Shuffled k-fold index split: list of (train_idx, test_idx) pairs."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    folds = np.array_split(perm, k)
+    out = []
+    for i in range(k):
+        test_idx = folds[i]
+        train_idx = np.concatenate([folds[j] for j in range(k) if j != i])
+        out.append((train_idx, test_idx))
+    return out
+
+
+@dataclass
+class KFoldResult:
+    fold_best: list          # best metric per fold
+    mean: float
+    std: float
+    curve_mean: float        # metric at the best epoch of the averaged curve
+    curve_std: float
+    best_epoch: int
+
+
+def run_k_fold(graphs, make_state_and_steps, make_batches, *, k=10,
+               epochs=100, init_lr=1e-3, lr_decay=0.5, lr_patience=50,
+               seed=0, higher_is_better=False, logger=None) -> KFoldResult:
+    """Generic k-fold driver.
+
+    `make_state_and_steps(fold_seed)` -> (state, train_step, eval_step);
+    `make_batches(graph_subset, shuffle_seed_or_None)` -> iterable of batches.
+    Reports both reference aggregations: mean of per-fold best metrics, and
+    the best epoch of the fold-averaged metric curve
+    (reference: core/train.py:150-179).
+    """
+    log = logger or (lambda msg: print(msg, flush=True))
+    curves = []
+    fold_best = []
+    sign = 1.0 if higher_is_better else -1.0
+    for fold, (tr_idx, te_idx) in enumerate(k_fold_split(len(graphs), k, seed)):
+        train_graphs = [graphs[i] for i in tr_idx]
+        test_graphs = [graphs[i] for i in te_idx]
+        state, train_step, eval_step = make_state_and_steps(fold)
+        sched = StepLR(step_size=lr_patience, gamma=lr_decay, lr=init_lr)
+        rng = jax.random.PRNGKey(seed + fold)
+        curve = []
+        best = -np.inf
+        for epoch in range(epochs):
+            for gb in make_batches(train_graphs, epoch):
+                rng, sub = jax.random.split(rng)
+                state, _ = train_step(state, gb, sched.lr, sub)
+            sched.step()
+            perf = evaluate(eval_step, state,
+                            make_batches(test_graphs, None))["mae"]
+            curve.append(perf)
+            best = max(best, sign * perf)
+        fold_best.append(sign * best)
+        curves.append(curve)
+        log(f"fold {fold}: best {sign * best:.4f}")
+    curves = np.asarray(curves)            # [k, epochs]
+    avg = curves.mean(axis=0)
+    best_idx = int((sign * avg).argmax())
+    fb = np.asarray(fold_best)
+    return KFoldResult(fold_best=list(map(float, fb)),
+                       mean=float(fb.mean()), std=float(fb.std()),
+                       curve_mean=float(avg[best_idx]),
+                       curve_std=float(curves.std(axis=0)[best_idx]),
+                       best_epoch=best_idx)
