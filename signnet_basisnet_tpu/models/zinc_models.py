@@ -55,9 +55,12 @@ def normalize_p(gb, p):
     means = seg.pool_nodes(p, gb.graph_id, gb.num_graphs,
                            node_mask=gb.node_mask, reduce="mean")
     p = (p - means[gb.graph_id]) * gb.node_mask[:, None]
+    # eps inside the sqrt: padding graphs have all-zero p and d/dp sqrt(0)
+    # is NaN, which would poison the whole gradient
     norms = jnp.sqrt(seg.pool_nodes(p ** 2, gb.graph_id, gb.num_graphs,
-                                    node_mask=gb.node_mask, reduce="sum"))
-    return p / jnp.maximum(norms[gb.graph_id], 1e-12)
+                                    node_mask=gb.node_mask, reduce="sum")
+                     + 1e-12)
+    return p / norms[gb.graph_id]
 
 
 class _Base(nn.Module):

@@ -23,7 +23,8 @@ from .data import (add_full_evd, add_lap_pe, add_rwpe, avg_degree_stats,
 from .graph import from_arrays
 from .models import gnn_model
 from .training import (Checkpointer, adam, build_steps, count_params,
-                       create_state, fit, load_config, make_zinc_predict)
+                       create_state, fit, load_config, make_lapeig_loss_fn,
+                       make_zinc_predict)
 
 
 def prepare_data(cfg):
@@ -52,7 +53,9 @@ def run(cfg, log=print):
     nb, eb, gb_cnt = choose_budgets(splits["train"], cfg.train.batch_size,
                                     slack=cfg.data.batch_slack,
                                     align=cfg.data.batch_align)
-    k = (cfg.model.pos_enc_dim if cfg.data.pe_mode != "full_evd" else None)
+    # fixed K even for full-EVD mode: pos_enc_dim is set to the dataset's
+    # max node count there (37 for ZINC), keeping every batch one shape
+    k = cfg.model.pos_enc_dim
     make_batches = lambda graphs, shuffle, seed: [
         from_arrays(a) for a in pack_batches(graphs, nb, eb, gb_cnt,
                                              shuffle=shuffle, seed=seed, k=k)]
@@ -70,7 +73,11 @@ def run(cfg, log=print):
         sign_inv_layers=cfg.model.sign_inv_layers,
         phi_out_dim=cfg.model.phi_out_dim,
         pe_aggregate=cfg.model.pe_aggregate,
+        max_nodes=cfg.model.max_nodes,
     )
+    use_lspe = cfg.model.use_lspe and cfg.model.model in ("GIN", "GatedGCN")
+    if use_lspe:
+        params["use_lspe"] = True
     if cfg.model.model in ("GAT", "Transformer"):
         params["num_heads"] = cfg.model.num_heads
     if cfg.model.model == "Transformer":
@@ -79,6 +86,7 @@ def run(cfg, log=print):
     if cfg.model.model == "PNA":
         avg_d = avg_degree_stats(splits["train"])
         params.update(avg_d_log=avg_d["log"], towers=cfg.model.towers,
+                      gru=cfg.model.gru, no_towers=cfg.model.no_towers,
                       **cfg.model.extra)
 
     model = gnn_model(cfg.model.model, **params)
@@ -88,8 +96,16 @@ def run(cfg, log=print):
                          model_kwargs={"pos_enc": val_batches[0].eigvecs})
     log(f"model: {cfg.model.model} params={count_params(state.params)}")
 
-    predict = make_zinc_predict(model, lap_method=cfg.model.lap_method)
-    train_step, eval_step = build_steps(predict, tx)
+    use_lapeig = cfg.model.use_lapeig_loss and use_lspe
+    predict = make_zinc_predict(model, lap_method=cfg.model.lap_method,
+                                return_p=use_lapeig)
+    if use_lapeig:
+        loss_fn = make_lapeig_loss_fn(cfg.model.alpha_loss,
+                                      cfg.model.lambda_loss,
+                                      cfg.model.pos_enc_dim)
+        train_step, eval_step = build_steps(predict, tx, loss_fn=loss_fn)
+    else:
+        train_step, eval_step = build_steps(predict, tx)
 
     ckpt = (Checkpointer(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints)
             if cfg.train.checkpoint_dir else None)

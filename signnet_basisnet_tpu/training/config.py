@@ -56,6 +56,13 @@ class ModelConfig:
     towers: int = 5
     full_graph: bool = False
     layer_norm: bool = False
+    gru: bool = False               # PNA: GRU between layers
+    no_towers: bool = False         # PNA: DGN-style towerless layers
+    use_lspe: bool = False          # learned structural+positional channels
+    use_lapeig_loss: bool = False   # Laplacian-eigvec auxiliary loss on p
+    alpha_loss: float = 1e-4
+    lambda_loss: float = 1.0
+    max_nodes: int = 40             # dense n_max (transformer phi)
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

@@ -57,20 +57,42 @@ def l1_graph_loss(pred, gb):
     return M.masked_l1(pred, y, gb.graph_mask)
 
 
-def make_zinc_predict(model, lap_method: str = "none"):
+def make_zinc_predict(model, lap_method: str = "none", return_p: bool = False):
     """predict() for the DGL-style nets: applies the PE sign-handling then
-    the net (reference: train/train_ZINC_graph_regression.py:54-88)."""
+    the net (reference: train/train_ZINC_graph_regression.py:54-88).
+    `return_p=True` also returns the LSPE positional channel for the
+    Laplacian-eigvec auxiliary loss (reference: gin_net.py:140-174)."""
     from ..models.pe import apply_lap_method
 
     def predict(variables, gb, training, rngs, mutable):
         pos_enc = gb.eigvecs
         if pos_enc is not None and lap_method not in ("none",):
             rng = rngs.get("sign_flip") if rngs else None
-            pos_enc = apply_lap_method(lap_method, gb, pos_enc, rng=rng)
+            if lap_method == "sign_flip" and rng is None:
+                pass  # eval: identity signs (flip is a training-time aug)
+            else:
+                pos_enc = apply_lap_method(lap_method, gb, pos_enc, rng=rng)
+        kwargs = {"return_p": True} if return_p else {}
         return model.apply(variables, gb, pos_enc, training=training,
-                           rngs=rngs, mutable=mutable)
+                           rngs=rngs, mutable=mutable, **kwargs)
 
     return predict
+
+
+def make_lapeig_loss_fn(alpha: float, lam: float, k: int):
+    """loss = L1 + alpha * (tr(p^T L p) + lambda ||P^T P - I||_F^2)
+    / (k * batch_size * n) — the LSPE auxiliary loss (reference:
+    gatedgcn_net.py:155-180, gin_net.py:140-174)."""
+    from ..models.zinc_models import lapeig_loss
+
+    def loss_fn(pred, gb):
+        score, p = pred
+        base = l1_graph_loss(score, gb)
+        tr, ortho = lapeig_loss(gb, p)
+        denom = k * gb.graph_mask.sum() * gb.node_mask.sum()
+        return base + alpha * (tr + lam * ortho) / jnp.maximum(denom, 1.0)
+
+    return loss_fn
 
 
 def make_module_predict(model):
@@ -99,8 +121,9 @@ def build_steps(predict, tx, loss_fn=l1_graph_loss, donate: bool = True):
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         updates = scale_updates(updates, lr)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        y = gb.y[:, 0] if (pred.ndim == 1 and gb.y.ndim == 2) else gb.y
-        mae = M.masked_l1(pred, y, gb.graph_mask)
+        score = pred[0] if isinstance(pred, tuple) else pred
+        y = gb.y[:, 0] if (score.ndim == 1 and gb.y.ndim == 2) else gb.y
+        mae = M.masked_l1(score, y, gb.graph_mask)
         new_state = TrainState(params=new_params, batch_stats=new_bs,
                                opt_state=new_opt, step=state.step + 1)
         return new_state, {"loss": loss, "mae": mae}
@@ -110,8 +133,9 @@ def build_steps(predict, tx, loss_fn=l1_graph_loss, donate: bool = True):
                            "batch_stats": state.batch_stats},
                           gb, False, None, ["batch_stats"])
         loss = loss_fn(pred, gb)
-        y = gb.y[:, 0] if (pred.ndim == 1 and gb.y.ndim == 2) else gb.y
-        mae = M.masked_l1(pred, y, gb.graph_mask)
+        score = pred[0] if isinstance(pred, tuple) else pred
+        y = gb.y[:, 0] if (score.ndim == 1 and gb.y.ndim == 2) else gb.y
+        mae = M.masked_l1(score, y, gb.graph_mask)
         n = gb.graph_mask.sum()
         return {"loss_sum": loss * n, "mae_sum": mae * n, "n": n}
 

@@ -170,3 +170,30 @@ def test_k_fold_split_partition():
     for tr, te in folds:
         assert set(tr) & set(te) == set()
         assert len(tr) + len(te) == 23
+
+
+def test_lapeig_loss_and_signflip_eval():
+    """Full train/eval step with LSPE + lapeig auxiliary loss: finite grads
+    (normalize_p sqrt-at-zero guard) and eval without a sign_flip rng."""
+    from signnet_basisnet_tpu.training import (adam, build_steps, create_state,
+                                               make_lapeig_loss_fn,
+                                               make_zinc_predict)
+    rng = np.random.default_rng(7)
+    gb = make(rng, k=4)
+    m = M.gnn_model("GatedGCN", hidden_dim=12, out_dim=12, n_layers=2,
+                    pe_init="rand_walk", pos_enc_dim=4, use_lspe=True)
+    tx = adam(0.0)
+    state = create_state(m, gb, tx, model_kwargs={"pos_enc": gb.eigvecs})
+    predict = make_zinc_predict(m, lap_method="none", return_p=True)
+    loss_fn = make_lapeig_loss_fn(1e-4, 1.0, 4)
+    train_step, eval_step = build_steps(predict, tx, loss_fn=loss_fn,
+                                        donate=False)
+    state2, metrics = train_step(state, gb, 1e-3, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["mae"]))
+    out = eval_step(state2, gb)
+    assert np.isfinite(float(out["mae_sum"]))
+    # sign_flip predict at eval time (no rng) must not raise
+    predict_sf = make_zinc_predict(m, lap_method="sign_flip", return_p=True)
+    _, ev = build_steps(predict_sf, tx, loss_fn=loss_fn, donate=False)
+    assert np.isfinite(float(ev(state2, gb)["mae_sum"]))
