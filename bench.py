@@ -123,6 +123,59 @@ def bench_tpu(batches):
     return edges / dt
 
 
+def bench_tpu_scan(batches):
+    """Same model/step, but the whole timed loop runs on-device as one
+    lax.scan over steps (batches stacked on a leading axis, cycled by index):
+    measures achievable device throughput with host dispatch amortized —
+    the deployment shape for an input pipeline that stages batches ahead."""
+    import jax
+    import jax.numpy as jnp
+    from signnet_basisnet_tpu.graph import from_arrays
+    from signnet_basisnet_tpu.models import GINNet
+    from signnet_basisnet_tpu.training import (adam, build_steps, create_state,
+                                               make_zinc_predict)
+
+    edge_counts = [float(np.asarray(b["edge_mask"]).sum()) for b in batches]
+    gbs = [from_arrays(b) for b in batches]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *gbs)
+
+    model = GINNet(hidden_dim=HIDDEN, out_dim=HIDDEN, n_layers=N_LAYERS,
+                   pos_enc_dim=K, lap_method="sign_inv",
+                   sign_inv_layers=SIGN_INV_LAYERS, phi_out_dim=4,
+                   batch_norm=True, dropout=0.0)
+    tx = adam()
+    state = create_state(model, gbs[0], tx,
+                         model_kwargs={"pos_enc": gbs[0].eigvecs})
+    predict = make_zinc_predict(model, lap_method="sign_inv")
+    train_step, _ = build_steps(predict, tx, donate=False)
+
+    lr = jnp.float32(1e-3)
+
+    @jax.jit
+    def run_steps(state, batch_idx, rng):
+        def body(carry, i):
+            st, key = carry
+            key, sub = jax.random.split(key)
+            gb = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, False),
+                stacked)
+            st, m = train_step(st, gb, lr, sub)
+            return (st, key), m["loss"]
+        (state, _), losses = jax.lax.scan(body, (state, rng), batch_idx)
+        return state, losses
+
+    idx = jnp.arange(STEPS, dtype=jnp.int32) % len(gbs)
+    rng = jax.random.PRNGKey(0)
+    state, losses = run_steps(state, idx, rng)          # compile + warmup
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    state, losses = run_steps(state, idx, rng)
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+    edges = sum(edge_counts[i % len(gbs)] for i in range(STEPS))
+    return edges / dt
+
+
 def bench_torch_cpu(batches, steps=4):
     """PyG-equivalent baseline: same GIN+SignNet architecture with
     index_select + scatter_add message passing in torch on CPU."""
@@ -195,21 +248,33 @@ def bench_torch_cpu(batches, steps=4):
 
 
 def main():
+    from signnet_basisnet_tpu.graph import segment as seg
     batches = build_batches()
     mode = os.environ.get("BENCH_MODE", "auto")
     if mode == "flat":
         tpu_eps = bench_tpu(batches)
+    elif mode == "onehot":
+        seg.set_sum_backend("onehot")
+        tpu_eps = bench_tpu(batches)
     elif mode == "dense":
         tpu_eps = bench_tpu_dense()
-    else:  # auto: report the faster of the two representations
+    elif mode == "scan":
+        tpu_eps = bench_tpu_scan(batches)
+    else:  # auto: report the fastest representation/backend
         flat_eps = bench_tpu(batches)
         try:
-            dense_eps = bench_tpu_dense()
+            scan_eps = bench_tpu_scan(batches)
         except Exception:
-            dense_eps = 0.0
-        tpu_eps = max(flat_eps, dense_eps)
-        print(f"# flat={flat_eps:.0f} dense={dense_eps:.0f} edges/s",
-              file=sys.stderr)
+            scan_eps = 0.0
+        seg.set_sum_backend("onehot")
+        try:
+            onehot_eps = bench_tpu_scan(batches)
+        except Exception:
+            onehot_eps = 0.0
+        seg.set_sum_backend("xla")
+        tpu_eps = max(flat_eps, scan_eps, onehot_eps)
+        print(f"# flat={flat_eps:.0f} scan={scan_eps:.0f} "
+              f"scan+onehot={onehot_eps:.0f} edges/s", file=sys.stderr)
     try:
         cpu_eps = bench_torch_cpu(batches)
     except Exception:

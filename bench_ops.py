@@ -48,7 +48,7 @@ def main():
     try:
         s_np, r_np, w_np = ops.pad_edges_to(np.asarray(senders),
                                             np.asarray(receivers),
-                                            np.asarray(w), 256)
+                                            np.asarray(w), 1024)
         senders, receivers, w = (jnp.asarray(s_np), jnp.asarray(r_np),
                                  jnp.asarray(w_np))
         starts, ends = ops.tile_edge_ranges(r_np, N, bn=256)
@@ -63,6 +63,30 @@ def main():
               f"({E / t_pal / 1e6:.1f} Medges/s)  max_err={err:.2e}")
     except Exception as exc:  # noqa: BLE001
         print(f"pallas_spmm:  FAILED ({type(exc).__name__}: {exc})")
+
+    try:
+        # tile-local layout: both endpoints inside one 256-node tile
+        rng2 = np.random.default_rng(1)
+        t = rng2.integers(0, N // 256, size=E)
+        src = (t * 256 + rng2.integers(0, 256, size=E)).astype(np.int32)
+        dst = (t * 256 + rng2.integers(0, 256, size=E)).astype(np.int32)
+        order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+        wt = rng2.random(E).astype(np.float32)
+        src_p, dst_p, w_p = ops.pad_edges_to(src, dst, wt, 1024)
+        starts, ends = ops.tile_edge_ranges(dst, N, bn=256)
+        args = (x, jnp.asarray(src_p), jnp.asarray(dst_p), jnp.asarray(w_p),
+                jnp.asarray(starts), jnp.asarray(ends))
+        tiled = lambda *a: ops.spmm_tiled(*a, N, 256)
+        t_til = timeit(tiled, *args)
+        out_t = tiled(*args)
+        ref_t = ops.spmm_reference(x, jnp.asarray(src), jnp.asarray(dst),
+                                   jnp.asarray(wt), N)
+        err = float(jnp.abs(out_t - ref_t).max())
+        print(f"pallas_tiled: {t_til * 1e6:8.1f} us  "
+              f"({E / t_til / 1e6:.1f} Medges/s)  max_err={err:.2e}")
+    except Exception as exc:  # noqa: BLE001
+        print(f"pallas_tiled: FAILED ({type(exc).__name__}: {exc})")
 
 
 if __name__ == "__main__":

@@ -100,6 +100,30 @@ class GraphBatch:
         return self.replace(node_feat=node_feat)
 
 
+def tile_first_fit(graphs, tile: int, num_nodes: int) -> np.ndarray:
+    """First-fit node offsets placing each graph fully inside one `tile`-sized
+    node tile (no graph straddles a tile boundary) — the layout contract of
+    the tile-local Pallas aggregation kernels (ops/pallas_spmm.py).
+
+    Returns per-graph node offsets; raises if the graphs don't fit.
+    """
+    if num_nodes % tile != 0:
+        raise ValueError(f"num_nodes {num_nodes} not a multiple of tile {tile}")
+    n_tiles = num_nodes // tile
+    free = np.full(n_tiles, tile, dtype=np.int64)
+    offsets = np.zeros(len(graphs), dtype=np.int64)
+    for gi, g in enumerate(graphs):
+        n = len_nodes(g)
+        if n > tile:
+            raise ValueError(f"graph with {n} nodes exceeds tile {tile}")
+        t = int(np.argmax(free >= n))
+        if free[t] < n:
+            raise ValueError("graphs do not fit the tiled node budget")
+        offsets[gi] = t * tile + (tile - free[t])
+        free[t] -= n
+    return offsets
+
+
 def batch_np(
     graphs,
     num_nodes: int,
@@ -107,6 +131,7 @@ def batch_np(
     num_graphs: int,
     k: Optional[int] = None,
     sort_edges: bool = True,
+    tile: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Pack a list of numpy graph dicts into padded flat arrays (host side).
 
@@ -117,6 +142,11 @@ def batch_np(
     The final graph slot (index ``num_graphs - 1``) is the padding graph that
     absorbs all padding nodes/edges; callers must therefore pass
     ``num_graphs >= len(graphs) + 1``.
+
+    With ``tile`` set, graphs are placed first-fit into `tile`-sized node
+    tiles (padding interleaved, no graph straddles a boundary) and the output
+    gains ``node_offset`` [G] plus ``tile_starts``/``tile_ends`` per-tile
+    edge ranges for the tile-local Pallas kernels.
     """
     n_real_graphs = len(graphs)
     if n_real_graphs + 1 > num_graphs:
@@ -127,6 +157,8 @@ def batch_np(
         raise ValueError(
             f"batch does not fit: {tot_n} nodes > {num_nodes} or {tot_e} edges > {num_edges}"
         )
+    offsets = (tile_first_fit(graphs, tile, num_nodes)
+               if tile is not None else None)
 
     pad_gid = num_graphs - 1
     senders = np.full(num_edges, num_nodes - 1, dtype=np.int32)
@@ -147,9 +179,12 @@ def batch_np(
     has = {k_: all(k_ in g for g in graphs) for k_ in
            ("node_feat", "edge_feat", "y", "eigvecs", "eigvals")}
 
+    node_offsets_out = np.zeros(num_graphs, dtype=np.int32)
     for gi, g in enumerate(graphs):
         n = len_nodes(g)
         e = len(g["senders"])
+        if offsets is not None:
+            node_off = int(offsets[gi])
         senders[edge_off:edge_off + e] = np.asarray(g["senders"], np.int32) + node_off
         receivers[edge_off:edge_off + e] = np.asarray(g["receivers"], np.int32) + node_off
         graph_id[node_off:node_off + n] = gi
@@ -159,6 +194,7 @@ def batch_np(
         node_mask[node_off:node_off + n] = 1.0
         edge_mask[edge_off:edge_off + e] = 1.0
         graph_mask[gi] = 1.0
+        node_offsets_out[gi] = node_off
         node_off += n
         edge_off += e
         for key in ("node_feat", "edge_feat", "y"):
@@ -186,8 +222,16 @@ def batch_np(
     )
 
     if has["node_feat"]:
-        nf = np.concatenate(feats["node_feat"], axis=0)
-        out["node_feat"] = _pad_rows(nf, num_nodes)
+        if offsets is None:
+            nf = np.concatenate(feats["node_feat"], axis=0)
+            out["node_feat"] = _pad_rows(nf, num_nodes)
+        else:
+            first = np.asarray(feats["node_feat"][0])
+            nf = np.zeros((num_nodes,) + first.shape[1:], first.dtype)
+            for gi, g in enumerate(graphs):
+                a = np.asarray(feats["node_feat"][gi])
+                nf[node_offsets_out[gi]:node_offsets_out[gi] + len(a)] = a
+            out["node_feat"] = nf
     if has["edge_feat"]:
         ef = np.concatenate(feats["edge_feat"], axis=0)
         ef = _pad_rows(ef, num_edges)
@@ -216,9 +260,9 @@ def batch_np(
         V = np.zeros((num_nodes, k), dtype=np.float32)
         S = np.zeros((num_graphs, k), dtype=np.float32)
         M = np.zeros((num_nodes, k), dtype=np.float32)
-        off = 0
         for gi, g in enumerate(graphs):
             n = len_nodes(g)
+            off = int(node_offsets_out[gi])
             vg = np.asarray(eig["eigvecs"][gi], np.float32)
             kg = min(vg.shape[1], k)
             V[off:off + n, :kg] = vg[:n, :kg]
@@ -226,10 +270,17 @@ def batch_np(
             if has["eigvals"]:
                 sg = np.asarray(eig["eigvals"][gi], np.float32)
                 S[gi, :min(len(sg), k)] = sg[:k]
-            off += n
         out["eigvecs"] = V
         out["eigvals"] = S
         out["eig_mask"] = M
+
+    if offsets is not None:
+        out["node_offset"] = node_offsets_out
+        n_tiles = num_nodes // tile
+        # per-tile contiguous edge ranges over the receiver-sorted edge array
+        bounds = np.searchsorted(receivers, np.arange(n_tiles + 1) * tile)
+        out["tile_starts"] = bounds[:-1].astype(np.int32)
+        out["tile_ends"] = bounds[1:].astype(np.int32)
 
     return out
 
@@ -245,10 +296,15 @@ def from_arrays(arrays: Dict[str, np.ndarray]) -> GraphBatch:
 def dense_node_index(gb: GraphBatch):
     """Per-node (graph, index-in-graph) coordinates for densification.
 
-    Valid because nodes of a graph are contiguous in the flat layout.
+    Valid because nodes of a graph are contiguous in the flat layout; tiled
+    layouts (interleaved padding) carry explicit offsets in
+    ``extras['node_offset']``.
     """
-    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                               jnp.cumsum(gb.n_node)[:-1]])
+    if "node_offset" in gb.extras:
+        offsets = gb.extras["node_offset"]
+    else:
+        offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                   jnp.cumsum(gb.n_node)[:-1]])
     idx_in_graph = jnp.arange(gb.num_nodes, dtype=jnp.int32) \
         - offsets[gb.graph_id]
     return gb.graph_id, idx_in_graph

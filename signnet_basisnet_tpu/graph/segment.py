@@ -39,10 +39,31 @@ def get_sum_backend() -> str:
     return _SUM_BACKEND
 
 
+# Backend for neighbor aggregation (models/conv.neighbor_sum): 'xla'
+# (gather + sorted scatter-add) or 'pallas_tile' (tile-local fused SpMM —
+# requires batches packed with tile=bn, ops/pallas_spmm.spmm_tiled).
+_AGG_BACKEND = "xla"
+
+
+def set_agg_backend(name: str) -> None:
+    global _AGG_BACKEND
+    if name not in ("xla", "pallas_tile"):
+        raise ValueError(name)
+    _AGG_BACKEND = name
+
+
+def get_agg_backend() -> str:
+    return _AGG_BACKEND
+
+
 def segment_sum(data, segment_ids, num_segments, indices_are_sorted=True):
-    if _SUM_BACKEND == "onehot" and data.ndim == 2:
+    if _SUM_BACKEND == "onehot" and data.ndim >= 2:
+        # out[s, :] = sum_e 1[ids[e]=s] data[e, :] as one MXU matmul;
+        # trailing axes fold into the feature dim (rank-polymorphic)
         oh = jax.nn.one_hot(segment_ids, num_segments, dtype=data.dtype)
-        return oh.T @ data
+        flat = data.reshape(data.shape[0], -1)
+        out = oh.T @ flat
+        return out.reshape((num_segments,) + data.shape[1:])
     return jax.ops.segment_sum(
         data, segment_ids, num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,

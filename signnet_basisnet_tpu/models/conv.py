@@ -26,12 +26,23 @@ from ..nn.norm import MaskedBatchNorm
 def neighbor_sum(x, gb):
     """sum_{j in N(i)} x_j.
 
-    Flat GraphBatch: masked destination-sorted segment sum (SpMM).
+    Flat GraphBatch: masked destination-sorted segment sum (SpMM), or the
+    tile-local fused Pallas kernel when the batch carries the tiled layout
+    and the backend is enabled (graph.segment.set_agg_backend).
     DenseGraphBatch: batched adj @ x on the MXU (zero scatter/gather).
     """
     from ..graph.dense import DenseGraphBatch, dense_neighbor_sum
     if isinstance(gb, DenseGraphBatch):
         return dense_neighbor_sum(gb.adj, x)
+    if (seg.get_agg_backend() == "pallas_tile"
+            and "tile_starts" in gb.extras):
+        from ..ops import spmm_tiled
+        bn = gb.num_nodes // gb.extras["tile_starts"].shape[0]
+        flat = x.reshape(x.shape[0], -1)
+        out = spmm_tiled(flat, gb.senders, gb.receivers, gb.edge_mask,
+                         gb.extras["tile_starts"], gb.extras["tile_ends"],
+                         gb.num_nodes, bn)
+        return out.reshape(x.shape)
     msg = x[gb.senders]
     return seg.aggregate_edges(msg, gb.receivers, gb.num_nodes,
                                edge_mask=gb.edge_mask)

@@ -1,3 +1,3 @@
 from .segment_matmul import segment_sum_onehot, gather_onehot, spmm_onehot
-from .pallas_spmm import (spmm_pallas, spmm_reference, tile_edge_ranges,
-                          pad_edges_to)
+from .pallas_spmm import (spmm_pallas, spmm_reference, spmm_tiled,
+                          tile_edge_ranges, pad_edges_to)

@@ -1,0 +1,147 @@
+"""Tile-local batching layout + fused Pallas SpMM kernel.
+
+The kernel itself runs in interpret mode on CPU (real-TPU numbers come from
+bench_ops.py); the layout tests are backend-independent.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from signnet_basisnet_tpu import models as M
+from signnet_basisnet_tpu import ops
+from signnet_basisnet_tpu.data.batcher import choose_budgets, pack_batches
+from signnet_basisnet_tpu.graph import batch_np, from_arrays, tile_first_fit
+from signnet_basisnet_tpu.graph import segment as seg
+
+
+def graphs_set(rng, count=10, lo=4, hi=12):
+    gs = []
+    for _ in range(count):
+        n = int(rng.integers(lo, hi))
+        A = np.triu((rng.random((n, n)) < 0.5).astype(int), 1)
+        A = A + A.T
+        s, r = np.nonzero(A)
+        gs.append(dict(senders=s, receivers=r,
+                       node_feat=rng.integers(0, 6, (n, 2)),
+                       edge_feat=rng.integers(0, 4, len(s)),
+                       y=np.array(rng.normal(size=1), np.float32)))
+    return gs
+
+
+def test_tile_first_fit_contract():
+    rng = np.random.default_rng(0)
+    gs = graphs_set(rng)
+    offs = tile_first_fit(gs, tile=16, num_nodes=128)
+    for g, off in zip(gs, offs):
+        n = g["node_feat"].shape[0]
+        assert off // 16 == (off + n - 1) // 16   # no straddling
+    # non-overlap
+    spans = sorted((int(o), int(o) + g["node_feat"].shape[0])
+                   for g, o in zip(gs, offs))
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 <= b0
+
+
+def test_tiled_batch_equivalent_results():
+    """A GIN forward must give identical per-graph outputs for contiguous
+    and tiled packings of the same graphs."""
+    rng = np.random.default_rng(1)
+    gs = graphs_set(rng)
+    flat = from_arrays(batch_np(gs, 128, 1024, len(gs) + 1))
+    tiled = from_arrays(batch_np(gs, 128, 1024, len(gs) + 1, tile=16))
+    assert "tile_starts" in tiled.extras and "node_offset" in tiled.extras
+    # tile-locality of every real edge
+    s, r = np.asarray(tiled.senders), np.asarray(tiled.receivers)
+    em = np.asarray(tiled.edge_mask) > 0
+    assert (s[em] // 16 == r[em] // 16).all()
+
+    model = M.gnn_model("GIN", hidden_dim=8, out_dim=8, n_layers=2,
+                        pe_init="none", lap_method="none")
+    key = jax.random.PRNGKey(0)
+    v = model.init({"params": key}, flat, None, training=False)
+    out_flat = model.apply(v, flat, None, training=False)
+    out_tiled = model.apply(v, tiled, None, training=False)
+    np.testing.assert_allclose(np.asarray(out_flat)[:len(gs)],
+                               np.asarray(out_tiled)[:len(gs)], atol=1e-4)
+
+
+def test_pack_batches_tiled():
+    rng = np.random.default_rng(2)
+    gs = graphs_set(rng, count=40)
+    nb, eb, gcnt = choose_budgets(gs, 16, tile=16)
+    assert nb % 16 == 0 and eb % 1024 == 0
+    batches = pack_batches(gs, nb, eb, gcnt, tile=16)
+    total = sum(int(b["graph_mask"].sum()) for b in batches)
+    assert total == 40
+    for b in batches:
+        s, r, em = b["senders"], b["receivers"], b["edge_mask"] > 0
+        assert (s[em] // 16 == r[em] // 16).all()
+
+
+def _tiled_problem(rng, bn=256, n_tiles=2, e=1500, d=128):
+    n = bn * n_tiles
+    # tile-local random edges, sorted by receiver
+    t = rng.integers(0, n_tiles, size=e)
+    src = (t * bn + rng.integers(0, bn, size=e)).astype(np.int32)
+    dst = (t * bn + rng.integers(0, bn, size=e)).astype(np.int32)
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    w = rng.random(e).astype(np.float32)
+    src, dst, w = ops.pad_edges_to(src, dst, w, 1024)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    starts, ends = ops.tile_edge_ranges(dst[:e], n, bn)
+    return (jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(w), jnp.asarray(starts), jnp.asarray(ends), n, bn, e)
+
+
+def test_spmm_tiled_interpret_matches_reference():
+    rng = np.random.default_rng(3)
+    x, s, r, w, starts, ends, n, bn, e = _tiled_problem(rng)
+    with pltpu.force_tpu_interpret_mode():
+        out = ops.spmm_tiled(x, s, r, w, starts, ends, n, bn)
+    ref = ops.spmm_reference(x, s, r, w, n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_tiled_grads_match_reference():
+    rng = np.random.default_rng(4)
+    x, s, r, w, starts, ends, n, bn, e = _tiled_problem(
+        rng, bn=256, n_tiles=1, e=700, d=8)
+
+    def loss_tiled(x, w):
+        return (ops.spmm_tiled(x, s, r, w, starts, ends, n, bn) ** 2).sum()
+
+    def loss_ref(x, w):
+        return (ops.spmm_reference(x, s, r, w, n) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gx, gw = jax.grad(loss_tiled, argnums=(0, 1))(x, w)
+    rx, rw = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_neighbor_sum_pallas_tile_backend_interpret():
+    rng = np.random.default_rng(5)
+    gs = graphs_set(rng)
+    nb, eb, gcnt = choose_budgets(gs, len(gs), tile=16)
+    # kernel wants bn tiles; use tile=16 with _LOAD-padded edges
+    arrays = pack_batches(gs, nb, eb, gcnt, tile=16)[0]
+    gb = from_arrays(arrays)
+    x = jnp.asarray(rng.normal(size=(gb.num_nodes, 8)).astype(np.float32))
+    x = x * gb.node_mask[:, None]
+    from signnet_basisnet_tpu.models.conv import neighbor_sum
+    ref = neighbor_sum(x, gb)
+    seg.set_agg_backend("pallas_tile")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = neighbor_sum(x, gb)
+    finally:
+        seg.set_agg_backend("xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
