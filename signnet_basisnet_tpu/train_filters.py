@@ -205,9 +205,10 @@ def run(args, log=print):
             params, bs, opt_state, best_loss, best_r2 = carry
             params, bs, opt_state, loss, r2 = train_step(
                 params, bs, opt_state, rng, x, y, eig_kwargs)
-            better = loss < best_loss
-            best_loss = jnp.where(better, loss, best_loss)
-            best_r2 = jnp.where(better, r2, best_r2)
+            # reference tracks min loss and max r2 independently
+            # (LearningFilters/training.py:236-249)
+            best_loss = jnp.minimum(loss, best_loss)
+            best_r2 = jnp.maximum(r2, best_r2)
             return (params, bs, opt_state, best_loss, best_r2), None
         (params, bs, opt_state, best_loss, best_r2), _ = jax.lax.scan(
             body, (params, bs, opt_state, best_loss, best_r2), rngs_blk)
@@ -218,9 +219,10 @@ def run(args, log=print):
     for img in range(args.img_num):
         x = x_all[:, img:img + 1]
         y = jnp.asarray(y_all[:, img:img + 1])
-        rngs = {"params": jax.random.PRNGKey(img),
-                "dropout": jax.random.PRNGKey(img + 1),
-                "sign_flip": jax.random.PRNGKey(img + 2)}
+        base = args.seed * 100003 + img
+        rngs = {"params": jax.random.PRNGKey(base),
+                "dropout": jax.random.PRNGKey(base + 1),
+                "sign_flip": jax.random.PRNGKey(base + 2)}
         variables = init_fn(rngs, gb, x, **kwargs)
         params, bs = variables["params"], variables.get("batch_stats", {})
         opt_state = tx.init(params)
@@ -228,7 +230,7 @@ def run(args, log=print):
             log(f"PARAMETERS: {count_params(params)}")
 
         t0 = time.time()
-        rng = jax.random.PRNGKey(1000 + img)
+        rng = jax.random.PRNGKey(1000 + base)
         blk = max(1, min(args.scan_epochs, args.epochs))
         best_loss = jnp.float32(jnp.inf)
         best_r2 = jnp.float32(0.0)
@@ -266,6 +268,7 @@ def run(args, log=print):
 def build_parser():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=2000)
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--filter_type", default="band",
                     choices=["low", "high", "band", "rejection", "comb",

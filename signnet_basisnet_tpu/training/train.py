@@ -198,9 +198,13 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
                        val_mae=val["mae"], time=time.time() - te0)
             history.append(rec)
             if epoch % log_every == 0:
+                from ..utils.profiling import device_memory_stats
+                mem = device_memory_stats()
+                mem_s = (f" peak_mem {mem['peak_mb_in_use']:.0f}MB"
+                         if "peak_mb_in_use" in mem else "")
                 log(f"epoch {epoch:4d} lr {lr_now:.2e} "
                     f"train_mae {train_mae:.4f} val_mae {val['mae']:.4f} "
-                    f"({rec['time']:.1f}s)")
+                    f"({rec['time']:.1f}s){mem_s}")
             if checkpointer is not None:
                 checkpointer.save(epoch, {"params": state.params,
                                           "batch_stats": state.batch_stats,

@@ -60,3 +60,34 @@ def timed():
     box = {}
     yield box
     box["seconds"] = time.perf_counter() - t0
+
+
+def device_memory_stats(device=None) -> dict:
+    """Per-device memory stats in MB — the TPU analog of the reference's
+    torch.cuda.max_memory_allocated/reserved epoch logging (reference:
+    GINESignNetPyG/core/train.py:40-41,63).
+
+    Returns {} on backends that don't expose memory_stats (e.g. CPU).
+    """
+    device = device or jax.devices()[0]
+    try:
+        stats = device.memory_stats()
+    except Exception:  # noqa: BLE001 - backend-dependent availability
+        return {}
+    if not stats:
+        return {}
+    mb = 1024 ** 2
+    out = {}
+    for key in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit",
+                "largest_alloc_size"):
+        if key in stats:
+            out[key.replace("bytes", "mb")] = stats[key] / mb
+    return out
+
+
+def log_memory(logger=None, device=None, prefix: str = "") -> dict:
+    stats = device_memory_stats(device)
+    if stats:
+        msg = prefix + " ".join(f"{k}={v:.1f}MB" for k, v in stats.items())
+        (logger or print)(msg)
+    return stats

@@ -197,3 +197,12 @@ def test_lapeig_loss_and_signflip_eval():
     predict_sf = make_zinc_predict(m, lap_method="sign_flip", return_p=True)
     _, ev = build_steps(predict_sf, tx, loss_fn=loss_fn, donate=False)
     assert np.isfinite(float(ev(state2, gb)["mae_sum"]))
+
+
+def test_device_memory_stats_shape():
+    from signnet_basisnet_tpu.utils.profiling import device_memory_stats
+    stats = device_memory_stats()
+    # CPU backend returns {} or a dict of MB floats; must never raise
+    assert isinstance(stats, dict)
+    for v in stats.values():
+        assert isinstance(v, float)
