@@ -63,13 +63,36 @@ def run(args, log=print):
                   epochs=args.epochs, init_lr=args.lr,
                   lr_reduce_factor=0.5, lr_schedule_patience=5,
                   min_lr=1e-6, max_time_hours=args.max_time_hours,
-                  seed=seed, log_every=args.log_every, logger=log)
+                  seed=seed, log_every=args.log_every, logger=log,
+                  best_val_test=True)
+
+        # per-target MAE + logMAE on test, final state (reference:
+        # main_alchemy.py:114-126: logMAE = mean of per-target log MAEs)
+        from .training import metrics as M
+
+        @jax.jit
+        def per_target(state_params, state_bs, gb):
+            pred, _ = predict({"params": state_params,
+                               "batch_stats": state_bs}, gb, False, None,
+                              ["batch_stats"])
+            n = gb.graph_mask.sum()
+            return M.masked_l1_per_target(pred, gb.y, gb.graph_mask) * n, n
+
+        sums, cnt = None, 0.0
+        for gb in test_b:
+            s, n = per_target(res.state.params, res.state.batch_stats, gb)
+            sums = s if sums is None else sums + s
+            cnt += float(n)
+        mae_t = np.asarray(sums) / max(cnt, 1.0)
+        logmae = float(np.log(np.maximum(mae_t, 1e-12)).mean())
         log(f"seed {seed}: test MAE {res.test_mae:.4f} "
-            f"(epochs {res.epochs_run})")
-        results.append(res.test_mae)
+            f"logMAE {logmae:.4f} (epochs {res.epochs_run})")
+        log("  per-target MAE: "
+            + " ".join(f"{v:.4f}" for v in mae_t))
+        results.append((res.test_mae, logmae))
     arr = np.array(results)
-    log(f"FINAL over {args.seeds} seeds: MAE {arr.mean():.4f} "
-        f"+- {arr.std():.4f}; logMAE {np.log(arr.mean()):.4f}")
+    log(f"FINAL over {args.seeds} seeds: MAE {arr[:, 0].mean():.4f} "
+        f"+- {arr[:, 0].std():.4f}; logMAE {arr[:, 1].mean():.4f}")
     return arr
 
 

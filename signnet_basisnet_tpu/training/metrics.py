@@ -52,3 +52,12 @@ def binary_f1(pred, target, mask, threshold=0.5):
     rec = tp / jnp.maximum(t.sum(), 1.0)
     return 2 * prec * rec / jnp.maximum(prec + rec, 1e-12)
 masked_mae = masked_l1
+
+
+def masked_l1_per_target(pred, target, mask):
+    """Per-target MAE over real graphs: [T] vector (reference:
+    Alchemy/main_alchemy.py:114-126 — per-target abs-error column sums /
+    dataset size; logMAE is the mean of the per-target logs)."""
+    import jax.numpy as jnp
+    err = jnp.abs(pred - target) * mask[:, None]
+    return err.sum(0) / jnp.maximum(mask.sum(), 1.0)

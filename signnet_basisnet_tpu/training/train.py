@@ -168,10 +168,14 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
         test_batches_fn=None, *, epochs=1000, init_lr=1e-3,
         lr_reduce_factor=0.5, lr_schedule_patience=25, min_lr=1e-6,
         max_time_hours=12.0, seed=0, log_every=5, logger=None,
-        checkpointer=None) -> FitResult:
+        checkpointer=None, best_val_test: bool = False) -> FitResult:
     """Epoch driver with plateau LR, min-lr stop, wall-clock budget and
     graceful KeyboardInterrupt — the reference pipeline's control flow
-    (reference: GraphPrediction/main_ZINC_graph_regression.py:171-252)."""
+    (reference: GraphPrediction/main_ZINC_graph_regression.py:171-252).
+
+    `best_val_test=True` reports the test metric from the best-val epoch
+    (the Alchemy protocol, reference: Alchemy/main_alchemy.py:129-139)
+    instead of the final model's (the ZINC protocol)."""
     sched = ReduceLROnPlateau(factor=lr_reduce_factor,
                               patience=lr_schedule_patience,
                               min_lr=min_lr, lr=init_lr)
@@ -179,6 +183,8 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
     history = []
     t0 = time.time()
     epochs_run = 0
+    best_val = float("inf")
+    best_test = float("nan")
     log = logger or (lambda msg: print(msg, flush=True))
     try:
         for epoch in range(epochs):
@@ -191,6 +197,10 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
             train_loss = losses / max(nb, 1)
             train_mae = maes / max(nb, 1)
             val = evaluate(eval_step, state, val_batches_fn())
+            if (best_val_test and test_batches_fn is not None
+                    and val["loss"] <= best_val):
+                best_val = val["loss"]
+                best_test = evaluate(eval_step, state, test_batches_fn())["mae"]
             lr_now = sched.step(val["loss"])
             epochs_run = epoch + 1
             rec = dict(epoch=epoch, lr=lr_now, train_loss=train_loss,
@@ -221,7 +231,8 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
     val = evaluate(eval_step, state, val_batches_fn())
     test = (evaluate(eval_step, state, test_batches_fn())
             if test_batches_fn else {"mae": float("nan")})
-    return FitResult(state=state, history=history, test_mae=test["mae"],
+    test_mae = best_test if best_val_test else test["mae"]
+    return FitResult(state=state, history=history, test_mae=test_mae,
                      val_mae=val["mae"], epochs_run=epochs_run,
                      wall_time=time.time() - t0)
 
