@@ -61,3 +61,33 @@ def masked_l1_per_target(pred, target, mask):
     import jax.numpy as jnp
     err = jnp.abs(pred - target) * mask[:, None]
     return err.sum(0) / jnp.maximum(mask.sum(), 1.0)
+
+
+def accuracy_sbm(logits, labels, mask, num_classes: int):
+    """Class-balanced accuracy: mean over classes of per-class recall, x100
+    (reference: GraphPrediction/train/metrics.py:34-51 accuracy_SBM)."""
+    pred = jnp.argmax(logits, axis=-1)
+    accs = []
+    for c in range(num_classes):
+        in_c = (labels == c).astype(jnp.float32) * mask
+        correct = ((pred == c).astype(jnp.float32) * in_c).sum()
+        accs.append(jnp.where(in_c.sum() > 0, correct / jnp.maximum(
+            in_c.sum(), 1.0), 0.0))
+    return 100.0 * jnp.stack(accs).sum() / num_classes
+
+
+def weighted_f1(logits, labels, mask, num_classes: int):
+    """Support-weighted multi-class F1 (reference: metrics.py:64-68
+    accuracy_VOC, sklearn f1_score(average='weighted'))."""
+    pred = jnp.argmax(logits, axis=-1)
+    total = jnp.maximum(mask.sum(), 1.0)
+    f1_sum = 0.0
+    for c in range(num_classes):
+        p = (pred == c).astype(jnp.float32) * mask
+        t = (labels == c).astype(jnp.float32) * mask
+        tp = (p * t).sum()
+        prec = tp / jnp.maximum(p.sum(), 1e-12)
+        rec = tp / jnp.maximum(t.sum(), 1e-12)
+        f1 = 2 * prec * rec / jnp.maximum(prec + rec, 1e-12)
+        f1_sum = f1_sum + f1 * t.sum()
+    return f1_sum / total

@@ -206,3 +206,28 @@ def test_device_memory_stats_shape():
     assert isinstance(stats, dict)
     for v in stats.values():
         assert isinstance(v, float)
+
+
+def test_classification_metrics_match_sklearn():
+    from sklearn.metrics import confusion_matrix, f1_score
+    from signnet_basisnet_tpu.training import metrics as M2
+    rng = np.random.default_rng(11)
+    n, c = 200, 4
+    logits = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    labels = rng.integers(0, c, n)
+    mask = jnp.ones(n, jnp.float32)
+    pred = np.asarray(jnp.argmax(logits, -1))
+
+    # SBM class-balanced accuracy, reference formula
+    CM = confusion_matrix(labels, pred).astype(np.float32)
+    pr = []
+    for r in range(c):
+        cluster = np.where(labels == r)[0]
+        pr.append(CM[r, r] / len(cluster) if len(cluster) else 0.0)
+    want_sbm = 100.0 * np.sum(pr) / c
+    got_sbm = float(M2.accuracy_sbm(logits, jnp.asarray(labels), mask, c))
+    np.testing.assert_allclose(got_sbm, want_sbm, rtol=1e-5)
+
+    want_f1 = f1_score(labels, pred, average="weighted")
+    got_f1 = float(M2.weighted_f1(logits, jnp.asarray(labels), mask, c))
+    np.testing.assert_allclose(got_f1, want_f1, rtol=1e-4)
