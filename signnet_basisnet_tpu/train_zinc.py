@@ -44,6 +44,13 @@ def prepare_data(cfg):
 
 
 def run(cfg, log=print):
+    if cfg.train.matmul_precision:
+        with jax.default_matmul_precision(cfg.train.matmul_precision):
+            return _run(cfg, log)
+    return _run(cfg, log)
+
+
+def _run(cfg, log=print):
     t0 = time.time()
     splits, real = prepare_data(cfg)
     log(f"dataset: ZINC ({'real' if real else 'synthetic'}) "

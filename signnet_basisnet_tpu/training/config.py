@@ -31,6 +31,9 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     keep_checkpoints: int = 2
     log_dir: Optional[str] = None
+    # jax.default_matmul_precision for the whole run: None keeps the backend
+    # default; 'bfloat16'/'tensorfloat32'/'float32' trade MXU speed/accuracy
+    matmul_precision: Optional[str] = None
 
 
 @dataclass

@@ -196,6 +196,13 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
                 losses += float(m["loss"]); maes += float(m["mae"]); nb += 1
             train_loss = losses / max(nb, 1)
             train_mae = maes / max(nb, 1)
+            if not np.isfinite(train_loss):
+                # failure detection the reference lacks (SURVEY.md §5): a
+                # non-finite loss poisons Adam state — stop with a clear
+                # message instead of silently training on NaNs
+                log(f"ABORT: non-finite train loss at epoch {epoch}; "
+                    f"stopping (restore a checkpoint to resume)")
+                break
             val = evaluate(eval_step, state, val_batches_fn())
             if (best_val_test and test_batches_fn is not None
                     and val["loss"] <= best_val):

@@ -109,3 +109,54 @@ def test_halo_aggregate_cross_shard_edges():
     ref = jax.ops.segment_sum(x[src] * emask[:, None], jnp.asarray(dst),
                               num_segments=n)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_gspmd_step_matches_single_device():
+    """GSPMD-sharded train step (XLA-inserted collectives) == unsharded."""
+    from signnet_basisnet_tpu.graph import batch_np, from_arrays
+    from signnet_basisnet_tpu.models import SignNetGNN
+    from signnet_basisnet_tpu.parallel import build_gspmd_steps
+    from signnet_basisnet_tpu.parallel.mesh import make_mesh
+    from signnet_basisnet_tpu.training import (adam, build_steps, create_state,
+                                               make_module_predict)
+    from signnet_basisnet_tpu.spectral import full_evd_np
+
+    rng = np.random.default_rng(3)
+    graphs = []
+    for _ in range(3):
+        n = int(rng.integers(6, 11))
+        A = np.triu((rng.random((n, n)) < 0.5).astype(int), 1)
+        A = A + A.T
+        s, r = np.nonzero(A)
+        vals, vecs = full_evd_np(s, r, n)
+        graphs.append(dict(senders=s, receivers=r,
+                           node_feat=rng.integers(0, 6, n),
+                           edge_feat=rng.integers(0, 4, len(s)),
+                           y=np.array([0.5], np.float32),
+                           eigvals=vals, eigvecs=vecs))
+    gb = from_arrays(batch_np(graphs, 40, 160, 4, k=6))
+
+    model = SignNetGNN(n_hid=12, n_out=1, nl_signnet=2, nl_gnn=2, nl_rho=1)
+    tx = adam()
+    state = create_state(model, gb, tx)
+    predict = make_module_predict(model)
+    ref_train, ref_eval = build_steps(predict, tx, donate=False)
+    mesh = make_mesh(dp=1, mp=8)
+    sp_train, sp_eval = build_gspmd_steps(predict, tx, mesh, gb, axis="mp")
+
+    lr = jnp.float32(1e-3)
+    key = jax.random.PRNGKey(0)
+    s1, m1 = ref_train(state, gb, lr, key)
+    s2, m2 = sp_train(state, gb, lr, key)
+    # loss and mae of the sharded step match the single-device step; the
+    # post-Adam states are NOT compared (Adam's m/sqrt(v) first-step update
+    # amplifies reduction-order noise on near-zero grads to O(lr))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m1["mae"]), float(m2["mae"]), rtol=1e-4)
+    e1 = ref_eval(state, gb)
+    e2 = sp_eval(state, gb)
+    np.testing.assert_allclose(float(e1["mae_sum"]), float(e2["mae_sum"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(e1["loss_sum"]), float(e2["loss_sum"]),
+                               rtol=1e-4)
