@@ -57,15 +57,20 @@ def _run(cfg, log=print):
         f"train={len(splits['train'])} val={len(splits['val'])} "
         f"test={len(splits['test'])}")
 
+    if cfg.data.agg_backend != "xla":
+        from .graph import segment as seg
+        seg.set_agg_backend(cfg.data.agg_backend)
+    tile = cfg.data.tile
     nb, eb, gb_cnt = choose_budgets(splits["train"], cfg.train.batch_size,
                                     slack=cfg.data.batch_slack,
-                                    align=cfg.data.batch_align)
+                                    align=cfg.data.batch_align, tile=tile)
     # fixed K even for full-EVD mode: pos_enc_dim is set to the dataset's
     # max node count there (37 for ZINC), keeping every batch one shape
     k = cfg.model.pos_enc_dim
     make_batches = lambda graphs, shuffle, seed: [
         from_arrays(a) for a in pack_batches(graphs, nb, eb, gb_cnt,
-                                             shuffle=shuffle, seed=seed, k=k)]
+                                             shuffle=shuffle, seed=seed, k=k,
+                                             tile=tile)]
     val_batches = make_batches(splits["val"], False, 0)
     test_batches = make_batches(splits["test"], False, 0)
 

@@ -81,6 +81,8 @@ class DataConfig:
     evd_normalization: Optional[str] = None
     batch_align: int = 8
     batch_slack: float = 1.10
+    tile: Optional[int] = None      # tile-local packing (batch_np(tile=bn))
+    agg_backend: str = "xla"        # xla | pallas_tile (graph.segment)
 
 
 @dataclass
