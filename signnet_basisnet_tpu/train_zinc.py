@@ -133,7 +133,7 @@ def _run(cfg, log=print):
         lr_schedule_patience=cfg.train.lr_schedule_patience,
         min_lr=cfg.train.min_lr, max_time_hours=cfg.train.max_time_hours,
         seed=cfg.train.seed, log_every=cfg.train.print_epoch_interval,
-        logger=log, checkpointer=ckpt,
+        logger=log, checkpointer=ckpt, resume=cfg.train.resume,
     )
     log(f"FINAL: test_mae={result.test_mae:.4f} val_mae={result.val_mae:.4f} "
         f"epochs={result.epochs_run} time={(time.time() - t0) / 3600:.2f}h")

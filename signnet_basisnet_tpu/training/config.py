@@ -30,6 +30,7 @@ class TrainConfig:
     num_microbatches: int = 1       # data-parallel microbatches per step
     checkpoint_dir: Optional[str] = None
     keep_checkpoints: int = 2
+    resume: bool = False            # restore latest checkpoint before fit
     log_dir: Optional[str] = None
     # jax.default_matmul_precision for the whole run: None keeps the backend
     # default; 'bfloat16'/'tensorfloat32'/'float32' trade MXU speed/accuracy

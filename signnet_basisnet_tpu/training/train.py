@@ -168,7 +168,8 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
         test_batches_fn=None, *, epochs=1000, init_lr=1e-3,
         lr_reduce_factor=0.5, lr_schedule_patience=25, min_lr=1e-6,
         max_time_hours=12.0, seed=0, log_every=5, logger=None,
-        checkpointer=None, best_val_test: bool = False) -> FitResult:
+        checkpointer=None, best_val_test: bool = False,
+        resume: bool = False) -> FitResult:
     """Epoch driver with plateau LR, min-lr stop, wall-clock budget and
     graceful KeyboardInterrupt — the reference pipeline's control flow
     (reference: GraphPrediction/main_ZINC_graph_regression.py:171-252).
@@ -183,11 +184,27 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
     history = []
     t0 = time.time()
     epochs_run = 0
+    start_epoch = 0
     best_val = float("inf")
     best_test = float("nan")
     log = logger or (lambda msg: print(msg, flush=True))
+    if resume and checkpointer is not None:
+        last = checkpointer.latest_step()
+        if last is not None:
+            target = {"params": state.params,
+                      "batch_stats": state.batch_stats,
+                      "opt_state": state.opt_state, "lr": sched.lr}
+            restored = checkpointer.restore(target, last)
+            state = TrainState(params=restored["params"],
+                               batch_stats=restored["batch_stats"],
+                               opt_state=restored["opt_state"],
+                               step=state.step)
+            sched.lr = float(restored.get("lr", sched.lr))
+            start_epoch = last + 1
+            rng = jax.random.fold_in(rng, start_epoch)
+            log(f"resumed from checkpoint epoch {last} (lr {sched.lr:.2e})")
     try:
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             te0 = time.time()
             losses, maes, nb = 0.0, 0.0, 0
             for gb in train_batches_fn(epoch):
@@ -225,7 +242,8 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
             if checkpointer is not None:
                 checkpointer.save(epoch, {"params": state.params,
                                           "batch_stats": state.batch_stats,
-                                          "opt_state": state.opt_state})
+                                          "opt_state": state.opt_state,
+                                          "lr": sched.lr})
             if sched.converged:
                 log("converged: lr <= min_lr")
                 break

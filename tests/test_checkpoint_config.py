@@ -65,3 +65,50 @@ def test_plateau_scheduler():
     for _ in range(40):
         s.step(2.0)
     assert s.lr == 1e-3 and s.converged
+
+
+def test_fit_resume_from_checkpoint(tmp_path):
+    """fit(resume=True) restores params/opt/lr and fast-forwards epochs."""
+    import jax
+    import jax.numpy as jnp
+    from signnet_basisnet_tpu.graph import batch_np, from_arrays
+    from signnet_basisnet_tpu.models import gnn_model
+    from signnet_basisnet_tpu.training import (Checkpointer, adam, build_steps,
+                                               create_state, fit,
+                                               make_zinc_predict)
+
+    rng = np.random.default_rng(0)
+    def tiny(n):
+        A = np.triu((rng.random((n, n)) < 0.5).astype(int), 1)
+        A = A + A.T
+        s, r = np.nonzero(A)
+        return dict(senders=s, receivers=r,
+                    node_feat=rng.integers(0, 6, n),
+                    edge_feat=rng.integers(0, 4, len(s)),
+                    y=np.array([0.1], np.float32))
+    gb = from_arrays(batch_np([tiny(5), tiny(6)], 16, 64, 3))
+
+    model = gnn_model("GIN", hidden_dim=8, out_dim=8, n_layers=1,
+                      pe_init="none", lap_method="none")
+    tx = adam()
+    predict = make_zinc_predict(model)
+    train_step, eval_step = build_steps(predict, tx, donate=False)
+
+    ck = Checkpointer(str(tmp_path / "ck"), keep=2)
+    state = create_state(model, gb, tx, model_kwargs={"pos_enc": None})
+    r1 = fit(state, train_step, eval_step, lambda ep: [gb], lambda: [gb],
+             epochs=2, init_lr=1e-3, checkpointer=ck, log_every=100)
+    assert ck.latest_step() == 1
+
+    # fresh state + resume: must fast-forward past saved epochs and pick up
+    # the checkpointed params (not the fresh init)
+    state2 = create_state(model, gb, tx, model_kwargs={"pos_enc": None},
+                          rng=jax.random.PRNGKey(99))
+    r2 = fit(state2, train_step, eval_step, lambda ep: [gb], lambda: [gb],
+             epochs=2, init_lr=1e-3, checkpointer=ck, resume=True,
+             log_every=100)
+    assert r2.epochs_run == 0          # both epochs already done
+    lead1 = jax.tree.leaves(r1.state.params)[0]
+    lead2 = jax.tree.leaves(r2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(lead1), np.asarray(lead2),
+                               atol=1e-6)
