@@ -85,6 +85,9 @@ class _Base(nn.Module):
     pe_aggregate: str = "add"         # add | concat
     use_lspe: bool = False
     max_nodes: int = 40               # dense n_max for the transformer phi
+    remat: bool = False               # rematerialize each conv layer
+    #   (jax.checkpoint: trade recompute for activation memory on deep
+    #    stacks / huge batched graphs)
 
     def sign_inv_module(self):
         """sign_inv_net factory (reference:
@@ -144,6 +147,17 @@ class _Base(nn.Module):
         hg = pool_any(gb, h, reduce=self.readout)
         return MLPReadout(1, name="mlp_readout")(hg, training=training)[:, 0]
 
+    def maybe_remat(self, cls, training_argnum: int):
+        """jax.checkpoint around each conv layer when `remat` is set —
+        activations recomputed in the backward pass instead of stored
+        (deep stacks / huge batched graphs).  `training_argnum` is the
+        positional index of the `training` flag in the layer's __call__
+        (counting self as 0) — it must stay a static python bool, and the
+        call sites pass it positionally."""
+        if not self.remat:
+            return cls
+        return nn.remat(cls, static_argnums=(training_argnum,))
+
 
 class GatedGCNNet(_Base):
     """reference: GraphPrediction/nets/ZINC_graph_regression/gatedgcn_net.py.
@@ -162,15 +176,15 @@ class GatedGCNNet(_Base):
         for i in range(self.n_layers):
             out_dim = self.hidden_dim if i < self.n_layers - 1 else self.out_dim
             if lspe and p is not None:
-                h, p, e = GatedGCNLSPELayer(
+                h, p, e = self.maybe_remat(GatedGCNLSPELayer, 6)(
                     out_dim, dropout=self.dropout,
                     batch_norm=self.batch_norm, residual=self.residual,
-                    name=f"layer_{i}")(gb, h, p, e, training=training)
+                    name=f"layer_{i}")(gb, h, p, e, None, training)
             else:
-                h, e = GatedGCNLayer(
+                h, e = self.maybe_remat(GatedGCNLayer, 5)(
                     out_dim, dropout=self.dropout, batch_norm=self.batch_norm,
                     residual=self.residual, graph_norm=False,
-                    name=f"layer_{i}")(gb, h, e, None, training=training)
+                    name=f"layer_{i}")(gb, h, e, None, training)
         if lspe and p is not None:
             p = Linear(self.pos_enc_dim, name="p_out")(p)
             p = normalize_p(gb, p)
@@ -196,8 +210,9 @@ class GINNet(_Base):
             update = MLP(hidden=self.hidden_dim, out=out_dim, num_layers=2,
                          use_bn=self.batch_norm, dropout=self.dropout,
                          name=f"mlp_{i}")
-            h = GINConv(update, learn_eps=False,
-                        name=f"layer_{i}")(gb, h, training=training)
+            h = self.maybe_remat(GINConv, 4)(
+                update, learn_eps=False,
+                name=f"layer_{i}")(gb, h, None, training)
         if (self.pe_init == "rand_walk" or self.use_lspe) and p is not None:
             p = Linear(self.pos_enc_dim, name="p_out")(p)
             p = normalize_p(gb, p)
@@ -249,16 +264,16 @@ class PNANet(_Base):
         gru = GRUStep(self.hidden_dim, name="gru") if self.gru else None
         for i in range(self.n_layers):
             if self.no_towers:
-                h_t = PNANoTowersLayer(
+                h_t = self.maybe_remat(PNANoTowersLayer, 5)(
                     self.hidden_dim, self.aggregators, self.scalers,
                     self.avg_d_log, dropout=self.dropout,
                     graph_norm=self.graph_norm, batch_norm=self.batch_norm,
                     residual=self.residual, edge_features=self.edge_feat,
                     pretrans_layers=self.pretrans_layers,
                     posttrans_layers=self.posttrans_layers,
-                    name=f"layer_{i}")(gb, h, e, snorm, training=training)
+                    name=f"layer_{i}")(gb, h, e, snorm, training)
             else:
-                h_t = PNALayer(
+                h_t = self.maybe_remat(PNALayer, 5)(
                     self.hidden_dim, self.aggregators, self.scalers,
                     self.avg_d_log, towers=self.towers, dropout=self.dropout,
                     graph_norm=self.graph_norm, batch_norm=self.batch_norm,
@@ -266,7 +281,7 @@ class PNANet(_Base):
                     divide_input=self.divide_input,
                     pretrans_layers=self.pretrans_layers,
                     posttrans_layers=self.posttrans_layers,
-                    name=f"layer_{i}")(gb, h, e, snorm, training=training)
+                    name=f"layer_{i}")(gb, h, e, snorm, training)
             if gru is not None and i != self.n_layers - 1:
                 h_t = gru(h, h_t)
             h = h_t
@@ -283,12 +298,12 @@ class TransformerNet(_Base):
     def __call__(self, gb, pos_enc=None, training: bool = True):
         h, p, e = self.embed_inputs(gb, pos_enc, training)
         for i in range(self.n_layers):
-            h = GraphTransformerLayer(
+            h = self.maybe_remat(GraphTransformerLayer, 4)(
                 self.hidden_dim, self.num_heads, dropout=self.dropout,
                 layer_norm=self.layer_norm, batch_norm=self.batch_norm,
                 residual=self.residual, use_edge=self.edge_feat,
                 full_graph=self.full_graph,
-                name=f"layer_{i}")(gb, h, e, training=training)
+                name=f"layer_{i}")(gb, h, e, training)
         return self.readout_head(gb, h, training)
 
 

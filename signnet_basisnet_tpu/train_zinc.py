@@ -86,6 +86,7 @@ def _run(cfg, log=print):
         phi_out_dim=cfg.model.phi_out_dim,
         pe_aggregate=cfg.model.pe_aggregate,
         max_nodes=cfg.model.max_nodes,
+        remat=cfg.model.remat,
     )
     use_lspe = cfg.model.use_lspe and cfg.model.model in ("GIN", "GatedGCN")
     if use_lspe:

@@ -67,6 +67,7 @@ class ModelConfig:
     alpha_loss: float = 1e-4
     lambda_loss: float = 1.0
     max_nodes: int = 40             # dense n_max (transformer phi)
+    remat: bool = False             # jax.checkpoint each conv layer
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

@@ -231,3 +231,27 @@ def test_classification_metrics_match_sklearn():
     want_f1 = f1_score(labels, pred, average="weighted")
     got_f1 = float(M2.weighted_f1(logits, jnp.asarray(labels), mask, c))
     np.testing.assert_allclose(got_f1, want_f1, rtol=1e-4)
+
+
+@pytest.mark.parametrize("name,hid", [("GIN", 12), ("GatedGCN", 12),
+                                      ("Transformer", 16), ("PNA", 16)])
+def test_remat_identical_loss(name, hid):
+    """remat=True is a pure memory/recompute trade: losses must be
+    bit-comparable with the non-remat stack."""
+    from signnet_basisnet_tpu.training import (adam, build_steps, create_state,
+                                               make_zinc_predict)
+    rng = np.random.default_rng(9)
+    gb = make(rng)
+    losses = []
+    for remat in (False, True):
+        kw = dict(hidden_dim=hid, out_dim=hid, n_layers=2, pe_init="none",
+                  lap_method="none", remat=remat)
+        if name == "PNA":
+            kw.update(towers=2)
+        m = M.gnn_model(name, **kw)
+        tx = adam()
+        st = create_state(m, gb, tx, model_kwargs={"pos_enc": None})
+        ts, _ = build_steps(make_zinc_predict(m), tx, donate=False)
+        st, met = ts(st, gb, jnp.float32(1e-3), jax.random.PRNGKey(0))
+        losses.append(float(met["loss"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
