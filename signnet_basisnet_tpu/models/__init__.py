@@ -1,5 +1,6 @@
 from .conv import (
-    GINConv, GINEConv, MaskedGINConv, GCNConv, GATConv, GatedGCNLayer,
+    GINConv, GINEConv, MaskedGINConv, MaskedGINEConv, GCNConv, GATConv,
+    GatedGCNLayer,
     PNATower, PNALayer, SimplifiedPNAConv, GraphTransformerAttention,
     GraphTransformerLayer, neighbor_sum, pna_aggregate, pna_scale,
 )

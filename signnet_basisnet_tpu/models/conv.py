@@ -137,6 +137,34 @@ class MaskedGINConv(nn.Module):
                                                         training=training)
 
 
+class MaskedGINEConv(nn.Module):
+    """Edge-featured GIN aggregation (`relu(x_src + e)` summed into dst,
+    train_eps) + MaskedMLP, zeroing padded (node, k) slots — the GINE variant
+    of the SignNet phi conv (reference:
+    Alchemy/sign_net/model_utils/masked_layers.py:87-102).
+
+    x: [N, D] or [N, K, D]; edge_attr: [E, D] (broadcast over the K axis)."""
+    out: int
+    hidden: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, gb, x, edge_attr, mask=None, training: bool = True):
+        src = x[gb.senders]
+        e = edge_attr
+        if src.ndim == e.ndim + 1:
+            e = e[:, None, :]
+        msg = nn.relu(src + e)
+        agg = seg.aggregate_edges(msg, gb.receivers, gb.num_nodes,
+                                  edge_mask=gb.edge_mask)
+        eps = self.param("eps", nn.initializers.zeros, ())
+        out = (1.0 + eps) * x + agg
+        if mask is not None:
+            out = out * mask[..., None]
+        return MaskedMLP(self.out, num_layers=2, with_final_activation=False,
+                         hidden=self.hidden, name="nn")(out, mask=mask,
+                                                        training=training)
+
+
 class GCNConv(nn.Module):
     """Symmetric-normalized graph convolution.
 

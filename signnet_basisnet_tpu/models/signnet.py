@@ -30,8 +30,9 @@ from ..graph import segment as seg
 from ..nn.init import Linear
 from ..nn.mlp import MLP, MaskedMLP
 from ..nn.norm import MaskedBatchNorm
+from ..nn.encoders import DiscreteEncoder
 from ..nn.set_transformer import SetTransformer
-from .conv import GCNConv, GINConv, MaskedGINConv
+from .conv import GCNConv, GINConv, MaskedGINConv, MaskedGINEConv
 
 
 def sign_fuse(x, mask=None):
@@ -48,18 +49,29 @@ def sign_unfuse(y):
 
 
 class GNN3d(nn.Module):
-    """Stack of masked GIN convs over x: [N, K, D] with mask [N, K]
-    (reference: Alchemy/sign_net/sign_net.py:12-44)."""
+    """Stack of masked GIN(E) convs over x: [N, K, D] with mask [N, K]
+    (reference: Alchemy/sign_net/sign_net.py:12-44; gnn_type selection and
+    per-layer edge encoders: GINESignNetPyG/core/sign_net.py:18-40 — the
+    reference creates DiscreteEncoders but passes raw edge_attr with the
+    encoded path commented out; we encode, which is the functional form)."""
     n_out: int
     n_layer: int
+    gnn_type: str = "MaskedGINConv"
 
     @nn.compact
     def __call__(self, gb, x, mask=None, training: bool = True):
         prev = 0.0
         for i in range(self.n_layer):
-            x = MaskedGINConv(self.n_out, hidden=self.n_out,
-                              name=f"conv_{i}")(gb, x, mask=mask,
-                                                training=training)
+            if self.gnn_type == "MaskedGINEConv":
+                e = DiscreteEncoder(self.n_out, name=f"edge_enc_{i}")(
+                    gb.edge_feat, training=training)
+                x = MaskedGINEConv(self.n_out, hidden=self.n_out,
+                                   name=f"conv_{i}")(gb, x, e, mask=mask,
+                                                     training=training)
+            else:
+                x = MaskedGINConv(self.n_out, hidden=self.n_out,
+                                  name=f"conv_{i}")(gb, x, mask=mask,
+                                                    training=training)
             if mask is not None:
                 x = x * mask[..., None]
             x = MaskedBatchNorm(self.n_out, name=f"norm_{i}")(
@@ -77,6 +89,7 @@ class SignNet(nn.Module):
     nl_phi: int
     nl_rho: int = 2
     ignore_eigval: bool = False
+    phi_gnn_type: str = "MaskedGINConv"
 
     @nn.compact
     def __call__(self, gb, training: bool = True):
@@ -89,8 +102,8 @@ class SignNet(nn.Module):
         else:
             pos = 0.0
         x2, m2 = sign_fuse(x, mask)
-        y = GNN3d(self.n_hid, self.nl_phi, name="phi")(gb, x2, mask=m2,
-                                                       training=training)
+        y = GNN3d(self.n_hid, self.nl_phi, gnn_type=self.phi_gnn_type,
+                  name="phi")(gb, x2, mask=m2, training=training)
         x = sign_unfuse(y)
         x = SetTransformer(self.n_hid, self.nl_rho, name="rho")(
             x, pos, mask=mask, training=training)

@@ -255,3 +255,46 @@ def test_remat_identical_loss(name, hid):
         st, met = ts(st, gb, jnp.float32(1e-3), jax.random.PRNGKey(0))
         losses.append(float(met["loss"]))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+
+def test_masked_gine_conv_padding_and_mask():
+    """MaskedGINEConv: padded (node, k) slots stay zero; garbage on padded
+    nodes/edges cannot leak into valid outputs (the reference's
+    `assert x[~mask].max() == 0` contract, masked_layers.py:87-102)."""
+    from signnet_basisnet_tpu.models import MaskedGINEConv
+    rng = np.random.default_rng(3)
+    gb = make(rng)
+    N, K, D = gb.num_nodes, 3, 8
+    x = jnp.asarray(rng.normal(size=(N, K, D)).astype(np.float32))
+    mask = jnp.asarray(
+        np.outer(np.asarray(gb.node_mask), np.ones(K)).astype(np.float32))
+    x = x * mask[..., None]
+    e = jnp.asarray(rng.normal(size=(gb.num_edges, D)).astype(np.float32))
+    e = e * gb.edge_mask[:, None]
+    conv = MaskedGINEConv(D)
+    v = conv.init(jax.random.PRNGKey(0), gb, x, e, mask=mask, training=False)
+    y1 = conv.apply(v, gb, x, e, mask=mask, training=False)
+    assert y1.shape == (N, K, D)
+    assert float(jnp.abs(y1 * (1 - mask[..., None])).max()) == 0.0
+    xg = x + 50.0 * (1 - mask[..., None])
+    eg = e + 50.0 * (1 - gb.edge_mask[:, None])
+    y2 = conv.apply(v, gb, xg, eg, mask=mask, training=False)
+    nm = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(y1)[nm], np.asarray(y2)[nm],
+                               atol=1e-4)
+
+
+def test_signnet_gine_phi_sign_invariance():
+    """SignNet with the GINE phi (GINESignNetPyG's MaskedGINEConv option) is
+    still sign-invariant."""
+    rng = np.random.default_rng(4)
+    gb = make(rng, k=4)
+    net = M.SignNet(n_hid=8, nl_phi=2, phi_gnn_type="MaskedGINEConv")
+    v = net.init(jax.random.PRNGKey(0), gb, training=False)
+    y1 = net.apply(v, gb, training=False)
+    flips = np.where(rng.random(4) < 0.5, 1.0, -1.0).astype(np.float32)
+    gb2 = gb.replace(eigvecs=gb.eigvecs * flips[None, :])
+    y2 = net.apply(v, gb2, training=False)
+    nm = np.asarray(gb.node_mask) > 0
+    np.testing.assert_allclose(np.asarray(y1)[nm], np.asarray(y2)[nm],
+                               atol=1e-4)
