@@ -39,34 +39,90 @@ def _mol_to_graph(atom_type: np.ndarray, bond_type: np.ndarray,
     )
 
 
+class _Stub:
+    """Stand-in for classes from modules this environment lacks (dgl, the
+    reference's `data.molecules`).  Absorbs any construction/state protocol
+    pickle throws at it and exposes the captured __dict__."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def __call__(self, *a, **k):
+        return _Stub()
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_state"] = state
+
+
+class _ReferenceUnpickler(pickle.Unpickler):
+    """Unpickles the reference's ZINC.pkl WITHOUT dgl or the reference's
+    `data.molecules` module on the path: any class that cannot be imported is
+    replaced by `_Stub`.  The payload we actually need — the raw molecule
+    dicts (`MoleculeDGL.data`: num_atom / atom_type / bond_type /
+    logP_SA_cycle_normalized, reference molecules.py:40-48) — is plain
+    torch/python data and survives; the DGLGraph objects in `graph_lists`
+    become inert stubs we never touch."""
+
+    _stub_cache: Dict[tuple, type] = {}
+
+    def find_class(self, module, name):
+        try:
+            return super().find_class(module, name)
+        except (ImportError, AttributeError):
+            key = (module, name)
+            if key not in self._stub_cache:
+                self._stub_cache[key] = type(
+                    f"Stub_{name}", (_Stub,),
+                    {"__module__": module})
+            return self._stub_cache[key]
+
+
+def _mol_dicts_to_graphs(mols) -> List[dict]:
+    """Reference molecule dicts -> our graph dicts, keeping bond features
+    (reference molecules.py:58-77: edge list = nonzero of the dense bond
+    matrix, edge_feat = bond codes at those entries)."""
+    out = []
+    for m in mols:
+        atom = np.asarray(m["atom_type"]).reshape(-1).astype(np.int32)
+        bond = np.asarray(m["bond_type"])
+        y = float(np.asarray(m["logP_SA_cycle_normalized"]).reshape(()))
+        out.append(_mol_to_graph(atom, bond, y))
+    return out
+
+
 def load_zinc_pickle(data_dir: str, subset: bool = True) -> Dict[str, List[dict]]:
     """Load reference-format ZINC pickles if available."""
     pkl = os.path.join(data_dir, "ZINC.pkl")
     out: Dict[str, List[dict]] = {}
     if os.path.exists(pkl):
         with open(pkl, "rb") as f:
-            train, val, test, _, _ = pickle.load(f)[:5]
+            loaded = _ReferenceUnpickler(f).load()
+        train, val, test = loaded[0], loaded[1], loaded[2]
         for name, ds in (("train", train), ("val", val), ("test", test)):
-            out[name] = [_mol_to_graph(np.asarray(g.ndata["feat"]),
-                                       None, float(l))
-                         for g, l in zip(ds.graph_lists, ds.graph_labels)]
+            mols = ds["data"] if isinstance(ds, dict) else getattr(
+                ds, "data", None)
+            if mols is None:
+                raise ValueError(
+                    f"ZINC.pkl split {name!r} has no raw molecule list "
+                    f"(fields: {sorted(getattr(ds, '__dict__', {}))}); "
+                    "cannot rebuild graphs without dgl")
+            out[name] = _mol_dicts_to_graphs(mols)
         return out
     for split in ("train", "val", "test"):
         p = os.path.join(data_dir, f"{split}.pickle")
         if not os.path.exists(p):
             raise FileNotFoundError(p)
         with open(p, "rb") as f:
-            mols = pickle.load(f)
+            mols = _ReferenceUnpickler(f).load()
         idx_file = os.path.join(data_dir, f"{split}.index")
         if subset and os.path.exists(idx_file):
             with open(idx_file) as f:
                 idx = [int(v) for row in csv.reader(f) for v in row]
             mols = [mols[i] for i in idx]
-        out[split] = [
-            _mol_to_graph(np.asarray(m["atom_type"]), np.asarray(m["bond_type"]),
-                          float(m["logP_SA_cycle_normalized"]))
-            for m in mols
-        ]
+        out[split] = _mol_dicts_to_graphs(mols)
     return out
 
 

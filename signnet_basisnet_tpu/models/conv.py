@@ -149,13 +149,30 @@ class MaskedGINEConv(nn.Module):
 
     @nn.compact
     def __call__(self, gb, x, edge_attr, mask=None, training: bool = True):
-        src = x[gb.senders]
-        e = edge_attr
-        if src.ndim == e.ndim + 1:
-            e = e[:, None, :]
-        msg = nn.relu(src + e)
-        agg = seg.aggregate_edges(msg, gb.receivers, gb.num_nodes,
-                                  edge_mask=gb.edge_mask)
+        from ..graph.dense import DenseGraphBatch
+        if isinstance(gb, DenseGraphBatch):
+            # edge_attr: [G, M(dst), M(src), D]; x: [G, M, D] or [G, M, K, D]
+            if x.ndim == 4:
+                msg = nn.relu(x[:, None, :, :, :]
+                              + edge_attr[:, :, :, None, :])
+                agg = jnp.einsum("gmn,gmnkd->gmkd", gb.adj, msg)
+            else:
+                msg = nn.relu(x[:, None, :, :] + edge_attr)
+                agg = jnp.einsum("gmn,gmnd->gmd", gb.adj, msg)
+        else:
+            src = x[gb.senders]
+            e = edge_attr
+            if src.ndim == e.ndim + 1:
+                e = e[:, None, :]
+            if src.shape[-1] not in (1, e.shape[-1]):
+                # layer 0 of GNN3d has D=1 x against n_out-dim encoded edges;
+                # that broadcast is intentional — anything else is a caller bug
+                raise ValueError(
+                    f"MaskedGINEConv feature mismatch: x D={src.shape[-1]} "
+                    f"vs edge D={e.shape[-1]} (only D=1 may broadcast)")
+            msg = nn.relu(src + e)
+            agg = seg.aggregate_edges(msg, gb.receivers, gb.num_nodes,
+                                      edge_mask=gb.edge_mask)
         eps = self.param("eps", nn.initializers.zeros, ())
         out = (1.0 + eps) * x + agg
         if mask is not None:

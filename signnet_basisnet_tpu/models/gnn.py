@@ -131,6 +131,7 @@ class SignNetGNN(nn.Module):
     nl_rho: int = 4
     ignore_eigval: bool = False
     gnn_type: str = "GINEConv"
+    phi_gnn_type: str = "MaskedGINConv"
     node_vocab: int = 100
     edge_vocab: int = 100
 
@@ -138,6 +139,8 @@ class SignNetGNN(nn.Module):
     def __call__(self, gb, training: bool = True):
         pos = SignNet(self.n_hid, self.nl_signnet, nl_rho=self.nl_rho,
                       ignore_eigval=self.ignore_eigval,
+                      phi_gnn_type=self.phi_gnn_type,
+                      edge_vocab=self.edge_vocab,
                       name="sign_net")(gb, training=training)
         return GNN(self.n_hid, self.n_out, self.nl_gnn,
                    gnn_type=self.gnn_type, node_vocab=self.node_vocab,

@@ -26,10 +26,18 @@ def abs_val(pos_enc):
     return jnp.abs(pos_enc)
 
 
-def canonical(gb, pos_enc):
+def canonical(gb, pos_enc, exact: bool = False):
     """Deterministic per-graph sign fix: flip column j of graph g iff it has
     fewer nonnegative entries than negative ones, OR smaller nonnegative mass
-    than negative mass (reference lines 26-43)."""
+    than negative mass (reference lines 26-43).
+
+    The reference computes ``sign_flip = -(less_nonneg + less_norm)`` then
+    maps only exact zeros to +1, so when BOTH criteria fire the multiplier is
+    **-2**, not -1 (`train_ZINC_graph_regression.py:39-41`) — it rescales the
+    eigenvector instead of just flipping it, which breaks sign-consistency
+    even in unambiguous cases.  ``exact=True`` replicates that published
+    behavior bit-for-bit; the default keeps a pure +-1 sign choice (the
+    documented deviation, see PARITY.md)."""
     nm = gb.node_mask[:, None]
     pos_count = seg.pool_nodes((pos_enc >= 0).astype(jnp.float32) * nm,
                                gb.graph_id, gb.num_graphs)
@@ -41,7 +49,10 @@ def canonical(gb, pos_enc):
                               gb.graph_id, gb.num_graphs)
     flip = ((pos_count < neg_count).astype(jnp.float32)
             + (nonneg_mass < neg_mass).astype(jnp.float32))
-    signs = jnp.where(flip > 0, -1.0, 1.0)          # [G, K]
+    if exact:
+        signs = jnp.where(flip > 0, -flip, 1.0)     # [G, K]  1 / -1 / -2
+    else:
+        signs = jnp.where(flip > 0, -1.0, 1.0)      # [G, K]
     return pos_enc * signs[gb.graph_id]
 
 
@@ -56,4 +67,6 @@ def apply_lap_method(method: str, gb, pos_enc, rng=None):
         return abs_val(pos_enc)
     if method == "canonical":
         return canonical(gb, pos_enc)
+    if method == "canonical_ref":
+        return canonical(gb, pos_enc, exact=True)
     raise ValueError(f"invalid laplacian method {method!r}")

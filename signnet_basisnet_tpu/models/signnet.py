@@ -57,13 +57,20 @@ class GNN3d(nn.Module):
     n_out: int
     n_layer: int
     gnn_type: str = "MaskedGINConv"
+    edge_vocab: int = 500
 
     @nn.compact
     def __call__(self, gb, x, mask=None, training: bool = True):
+        if self.gnn_type not in ("MaskedGINConv", "MaskedGINEConv"):
+            # the reference's getattr(masked_layers, gnn_type) raises on a
+            # typo; a silent fallback would train without edge features
+            raise ValueError(f"unsupported GNN3d gnn_type {self.gnn_type!r}")
         prev = 0.0
         for i in range(self.n_layer):
             if self.gnn_type == "MaskedGINEConv":
-                e = DiscreteEncoder(self.n_out, name=f"edge_enc_{i}")(
+                e = DiscreteEncoder(self.n_out,
+                                    max_num_values=self.edge_vocab,
+                                    name=f"edge_enc_{i}")(
                     gb.edge_feat, training=training)
                 x = MaskedGINEConv(self.n_out, hidden=self.n_out,
                                    name=f"conv_{i}")(gb, x, e, mask=mask,
@@ -90,6 +97,7 @@ class SignNet(nn.Module):
     nl_rho: int = 2
     ignore_eigval: bool = False
     phi_gnn_type: str = "MaskedGINConv"
+    edge_vocab: int = 500
 
     @nn.compact
     def __call__(self, gb, training: bool = True):
@@ -103,6 +111,7 @@ class SignNet(nn.Module):
             pos = 0.0
         x2, m2 = sign_fuse(x, mask)
         y = GNN3d(self.n_hid, self.nl_phi, gnn_type=self.phi_gnn_type,
+                  edge_vocab=self.edge_vocab,
                   name="phi")(gb, x2, mask=m2, training=training)
         x = sign_unfuse(y)
         x = SetTransformer(self.n_hid, self.nl_rho, name="rho")(

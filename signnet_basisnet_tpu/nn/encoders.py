@@ -20,8 +20,11 @@ class DiscreteEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = True):
         del training
-        if x.ndim == 1:
-            x = x[:, None]
+        if x.ndim != 2:
+            # single-feature codes of any rank (1-D flat edges, or the dense
+            # [G, M, M] bond-code matrix): one elementwise embedding lookup
+            return Embedding(self.max_num_values, self.hidden,
+                             name="emb_0")(x)
         out = 0.0
         for i in range(min(x.shape[1], self.max_num_features)):
             out = out + Embedding(self.max_num_values, self.hidden,

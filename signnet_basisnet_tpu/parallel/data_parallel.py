@@ -30,8 +30,9 @@ def build_dp_steps(predict, tx, mesh: Mesh, loss_fn=l1_graph_loss):
     dp_axes = ("dp",) if "mp" not in mesh.axis_names else ("dp", "mp")
 
     def worker(state, gb_stack, lr, rng):
-        # local shard has leading dim = microbatches per device; loop via scan
-        # is unnecessary at 1; average over local slices with a fori-style map.
+        # local shard has leading dim = microbatches per device; accumulated
+        # with lax.scan so compile time stays flat in n_local (a Python
+        # unroll would duplicate the whole fwd+bwd graph per microbatch)
         def one(gb, rng):
             rngs = {"dropout": rng, "sign_flip": jax.random.fold_in(rng, 1)}
 
@@ -56,20 +57,24 @@ def build_dp_steps(predict, tx, mesh: Mesh, loss_fn=l1_graph_loss):
         rng = jax.random.fold_in(rng, idx)
 
         n_local = jax.tree.leaves(gb_stack)[0].shape[0]
-        losses, maes = [], []
-        grads_acc = None
-        bs_acc = None
-        for i in range(n_local):
-            gb = jax.tree.map(lambda x: x[i], gb_stack)
-            loss, mae, grads, bs = one(gb, jax.random.fold_in(rng, i))
-            losses.append(loss); maes.append(mae)
-            grads_acc = grads if grads_acc is None else jax.tree.map(
-                jnp.add, grads_acc, grads)
-            bs_acc = bs if bs_acc is None else jax.tree.map(jnp.add, bs_acc, bs)
+
+        def body(carry, inp):
+            i, gb = inp
+            loss_i, mae_i, grads_i, bs_i = one(gb, jax.random.fold_in(rng, i))
+            g_acc, b_acc, l_acc, m_acc = carry
+            return (jax.tree.map(jnp.add, g_acc, grads_i),
+                    jax.tree.map(jnp.add, b_acc, bs_i),
+                    l_acc + loss_i, m_acc + mae_i), None
+
+        init = (jax.tree.map(jnp.zeros_like, state.params),
+                jax.tree.map(jnp.zeros_like, state.batch_stats),
+                jnp.zeros(()), jnp.zeros(()))
+        (grads_acc, bs_acc, loss_sum, mae_sum), _ = jax.lax.scan(
+            body, init, (jnp.arange(n_local), gb_stack))
         grads = jax.tree.map(lambda g: g / n_local, grads_acc)
         bs = jax.tree.map(lambda b: b / n_local, bs_acc)
-        loss = jnp.mean(jnp.stack(losses))
-        mae = jnp.mean(jnp.stack(maes))
+        loss = loss_sum / n_local
+        mae = mae_sum / n_local
 
         # cross-device reductions ride ICI
         grads = jax.lax.pmean(grads, dp_axes)
@@ -94,10 +99,7 @@ def build_dp_steps(predict, tx, mesh: Mesh, loss_fn=l1_graph_loss):
     train_step = jax.jit(mapped, donate_argnums=(0,))
 
     def eval_worker(state, gb_stack):
-        n_local = jax.tree.leaves(gb_stack)[0].shape[0]
-        tot = {"loss_sum": 0.0, "mae_sum": 0.0, "n": 0.0}
-        for i in range(n_local):
-            gb = jax.tree.map(lambda x: x[i], gb_stack)
+        def body(carry, gb):
             pred, _ = predict({"params": state.params,
                                "batch_stats": state.batch_stats},
                               gb, False, None, ["batch_stats"])
@@ -105,9 +107,12 @@ def build_dp_steps(predict, tx, mesh: Mesh, loss_fn=l1_graph_loss):
             y = gb.y[:, 0] if (pred.ndim == 1 and gb.y.ndim == 2) else gb.y
             mae = M.masked_l1(pred, y, gb.graph_mask)
             n = gb.graph_mask.sum()
-            tot["loss_sum"] += loss * n
-            tot["mae_sum"] += mae * n
-            tot["n"] += n
+            return {"loss_sum": carry["loss_sum"] + loss * n,
+                    "mae_sum": carry["mae_sum"] + mae * n,
+                    "n": carry["n"] + n}, None
+
+        init = {k: jnp.zeros(()) for k in ("loss_sum", "mae_sum", "n")}
+        tot, _ = jax.lax.scan(body, init, gb_stack)
         return {k: jax.lax.psum(v, dp_axes) for k, v in tot.items()}
 
     eval_step = jax.jit(jax.shard_map(

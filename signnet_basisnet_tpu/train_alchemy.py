@@ -46,6 +46,7 @@ def run(args, log=print):
         model = SignNetGNN(n_hid=args.hidden, n_out=12,
                            nl_signnet=args.nl_signnet, nl_gnn=args.nl_gnn,
                            nl_rho=args.nl_rho, gnn_type="GINEConv",
+                           phi_gnn_type=args.phi_gnn_type,
                            node_vocab=args.node_vocab,
                            edge_vocab=args.edge_vocab)
         tx = adam(weight_decay=args.weight_decay)
@@ -108,6 +109,8 @@ def build_parser():
     ap.add_argument("--nl_signnet", type=int, default=8)
     ap.add_argument("--nl_gnn", type=int, default=16)
     ap.add_argument("--nl_rho", type=int, default=8)
+    ap.add_argument("--phi_gnn_type", default="MaskedGINConv",
+                    choices=["MaskedGINConv", "MaskedGINEConv"])
     ap.add_argument("--node_vocab", type=int, default=10)
     ap.add_argument("--edge_vocab", type=int, default=10)
     ap.add_argument("--synth_train", type=int, default=10000)

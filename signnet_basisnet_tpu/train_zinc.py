@@ -135,6 +135,8 @@ def _run(cfg, log=print):
         min_lr=cfg.train.min_lr, max_time_hours=cfg.train.max_time_hours,
         seed=cfg.train.seed, log_every=cfg.train.print_epoch_interval,
         logger=log, checkpointer=ckpt, resume=cfg.train.resume,
+        eval_sign_flip=(cfg.model.lap_method == "sign_flip"
+                        and cfg.model.eval_sign_flip),
     )
     log(f"FINAL: test_mae={result.test_mae:.4f} val_mae={result.val_mae:.4f} "
         f"epochs={result.epochs_run} time={(time.time() - t0) / 3600:.2f}h")

@@ -55,7 +55,8 @@ def run(args, log=print):
 
     model = SignNetGNN(n_hid=args.hidden, n_out=1, nl_signnet=args.nl_signnet,
                        nl_gnn=args.nl_gnn, nl_rho=1, ignore_eigval=True,
-                       gnn_type="GINEConv", node_vocab=28, edge_vocab=4)
+                       gnn_type="GINEConv", phi_gnn_type=args.phi_gnn_type,
+                       node_vocab=28, edge_vocab=4)
     tx = adam(weight_decay=args.weight_decay)
     state = create_state(model, val_b[0], tx,
                          rng=jax.random.PRNGKey(args.seed))
@@ -99,6 +100,8 @@ def build_parser():
     ap.add_argument("--hidden", type=int, default=110)
     ap.add_argument("--nl_signnet", type=int, default=8)
     ap.add_argument("--nl_gnn", type=int, default=6)
+    ap.add_argument("--phi_gnn_type", default="MaskedGINConv",
+                    choices=["MaskedGINConv", "MaskedGINEConv"])
     ap.add_argument("--synth_train", type=int, default=10000)
     ap.add_argument("--synth_eval", type=int, default=1000)
     ap.add_argument("--log_every", type=int, default=5)

@@ -51,6 +51,9 @@ class ModelConfig:
     edge_feat: bool = True
     pe_init: str = "lap_pe"
     lap_method: str = "sign_inv"
+    # reference flips eigvec signs at eval time too (handle_lap from
+    # evaluate_network_sparse); default replicates that for sign_flip runs
+    eval_sign_flip: bool = True
     pos_enc_dim: int = 8
     sign_inv_net: str = "gin"
     sign_inv_layers: int = 8

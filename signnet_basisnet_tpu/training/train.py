@@ -69,7 +69,10 @@ def make_zinc_predict(model, lap_method: str = "none", return_p: bool = False):
         if pos_enc is not None and lap_method not in ("none",):
             rng = rngs.get("sign_flip") if rngs else None
             if lap_method == "sign_flip" and rng is None:
-                pass  # eval: identity signs (flip is a training-time aug)
+                # no rng supplied (e.g. DP eval path): identity signs; the
+                # reference flips at eval too — pass an eval rng to replicate
+                # (build_steps eval_step accepts one; PARITY.md "sign_flip")
+                pass
             else:
                 pos_enc = apply_lap_method(lap_method, gb, pos_enc, rng=rng)
         kwargs = {"return_p": True} if return_p else {}
@@ -128,10 +131,16 @@ def build_steps(predict, tx, loss_fn=l1_graph_loss, donate: bool = True):
                                opt_state=new_opt, step=state.step + 1)
         return new_state, {"loss": loss, "mae": mae}
 
-    def eval_step(state: TrainState, gb):
+    def eval_step(state: TrainState, gb, rng=None):
+        # optional rng: the reference applies random eigvec sign flips during
+        # evaluation as well (handle_lap is called from
+        # evaluate_network_sparse, train_ZINC_graph_regression.py:110);
+        # passing an rng here replicates that, omitting it gives the
+        # deterministic identity-sign eval (both documented in PARITY.md)
+        rngs = None if rng is None else {"sign_flip": rng}
         pred, _ = predict({"params": state.params,
                            "batch_stats": state.batch_stats},
-                          gb, False, None, ["batch_stats"])
+                          gb, False, rngs, ["batch_stats"])
         loss = loss_fn(pred, gb)
         score = pred[0] if isinstance(pred, tuple) else pred
         y = gb.y[:, 0] if (score.ndim == 1 and gb.y.ndim == 2) else gb.y
@@ -154,10 +163,14 @@ class FitResult:
     wall_time: float
 
 
-def evaluate(eval_step, state, batches) -> Dict[str, float]:
+def evaluate(eval_step, state, batches, rng=None) -> Dict[str, float]:
     tot = {"loss_sum": 0.0, "mae_sum": 0.0, "n": 0.0}
     for gb in batches:
-        out = eval_step(state, gb)
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+            out = eval_step(state, gb, sub)
+        else:
+            out = eval_step(state, gb)
         for k in tot:
             tot[k] += float(out[k])
     n = max(tot["n"], 1.0)
@@ -169,18 +182,24 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
         lr_reduce_factor=0.5, lr_schedule_patience=25, min_lr=1e-6,
         max_time_hours=12.0, seed=0, log_every=5, logger=None,
         checkpointer=None, best_val_test: bool = False,
-        resume: bool = False) -> FitResult:
+        resume: bool = False, eval_sign_flip: bool = False) -> FitResult:
     """Epoch driver with plateau LR, min-lr stop, wall-clock budget and
     graceful KeyboardInterrupt — the reference pipeline's control flow
     (reference: GraphPrediction/main_ZINC_graph_regression.py:171-252).
 
     `best_val_test=True` reports the test metric from the best-val epoch
     (the Alchemy protocol, reference: Alchemy/main_alchemy.py:129-139)
-    instead of the final model's (the ZINC protocol)."""
+    instead of the final model's (the ZINC protocol).
+
+    `eval_sign_flip=True` threads a fresh rng into every eval step so the
+    sign_flip PE method randomizes signs during evaluation too — the
+    reference's behavior (handle_lap called from evaluate_network_sparse,
+    train_ZINC_graph_regression.py:110)."""
     sched = ReduceLROnPlateau(factor=lr_reduce_factor,
                               patience=lr_schedule_patience,
                               min_lr=min_lr, lr=init_lr)
     rng = jax.random.PRNGKey(seed)
+    erng = jax.random.PRNGKey(seed + 10007) if eval_sign_flip else None
     history = []
     t0 = time.time()
     epochs_run = 0
@@ -220,11 +239,16 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
                 log(f"ABORT: non-finite train loss at epoch {epoch}; "
                     f"stopping (restore a checkpoint to resume)")
                 break
-            val = evaluate(eval_step, state, val_batches_fn())
+            if erng is not None:
+                erng, e1, e2 = jax.random.split(erng, 3)
+            else:
+                e1 = e2 = None
+            val = evaluate(eval_step, state, val_batches_fn(), rng=e1)
             if (best_val_test and test_batches_fn is not None
                     and val["loss"] <= best_val):
                 best_val = val["loss"]
-                best_test = evaluate(eval_step, state, test_batches_fn())["mae"]
+                best_test = evaluate(eval_step, state, test_batches_fn(),
+                                     rng=e2)["mae"]
             lr_now = sched.step(val["loss"])
             epochs_run = epoch + 1
             rec = dict(epoch=epoch, lr=lr_now, train_loss=train_loss,
@@ -253,8 +277,12 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
     except KeyboardInterrupt:
         log("interrupted: finishing with final eval")
 
-    val = evaluate(eval_step, state, val_batches_fn())
-    test = (evaluate(eval_step, state, test_batches_fn())
+    if erng is not None:
+        erng, e1, e2 = jax.random.split(erng, 3)
+    else:
+        e1 = e2 = None
+    val = evaluate(eval_step, state, val_batches_fn(), rng=e1)
+    test = (evaluate(eval_step, state, test_batches_fn(), rng=e2)
             if test_batches_fn else {"mae": float("nan")})
     test_mae = best_test if best_val_test else test["mae"]
     return FitResult(state=state, history=history, test_mae=test_mae,
