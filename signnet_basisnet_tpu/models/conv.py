@@ -635,6 +635,21 @@ class GraphTransformerAttention(nn.Module):
                 .reshape(-1, H, D)
 
         Qh, Kh, Vh = proj("Q", h), proj("K", h), proj("V", h)
+
+        # Fused Pallas path: SDDMM + clamped-exp segment softmax + SpMM in
+        # one kernel (ops/pallas_attention), available for tile-local batches
+        # on the sparse (non-full-graph) path.
+        if (seg.get_agg_backend() == "pallas_tile"
+                and "tile_starts" in gb.extras and not self.full_graph):
+            from ..ops import edge_softmax_attention_tiled
+            E1 = proj("E", e) if self.use_edge else jnp.ones(
+                (gb.senders.shape[0], H, D), Qh.dtype)
+            bn = gb.num_nodes // gb.extras["tile_starts"].shape[0]
+            return edge_softmax_attention_tiled(
+                Qh, Kh, Vh, E1, gb.senders, gb.receivers,
+                gb.edge_mask, gb.extras["tile_starts"],
+                gb.extras["tile_ends"], gb.num_nodes, bn)
+
         # score_ij = (K_src * Q_dst) / sqrt(d), per head
         score = Kh[gb.senders] * Qh[gb.receivers] / math.sqrt(D)
         if self.use_edge:

@@ -83,18 +83,29 @@ class TransformerNet(nn.Module):
 
     @nn.compact
     def __call__(self, gb, x, training: bool = True):
+        # torch nn.MultiheadAttention init: xavier_uniform_ on the stacked
+        # (3d, d) in_proj weight -> bound sqrt(6/(3d+d)) = sqrt(1.5/d);
+        # in_proj/out_proj biases zeroed (torch MultiheadAttention
+        # ._reset_parameters); LayerNorm eps 1e-5 (torch default).
+        import jax as _jax
+
+        def _inproj_init(key, shape, dtype=jnp.float32):
+            bound = (1.5 / self.hidden) ** 0.5
+            return _jax.random.uniform(key, shape, dtype, -bound, bound)
+
         x = Linear(self.hidden, name="fc1")(x)
         squeeze = x.ndim == 2
         if squeeze:
             x = x[None]
         for i in range(self.num_layers):
             # pre-LN self-attention
-            h = nn.LayerNorm(name=f"ln1_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"ln1_{i}")(x)
             h = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads, qkv_features=self.hidden,
+                kernel_init=_inproj_init, bias_init=nn.initializers.zeros,
                 deterministic=True, name=f"attn_{i}")(h, h)
             x = x + h
-            h = nn.LayerNorm(name=f"ln2_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"ln2_{i}")(x)
             h = Linear(self.hidden, name=f"ff1_{i}")(h)
             h = nn.relu(h)
             h = Linear(self.hidden, name=f"ff2_{i}")(h)

@@ -1,3 +1,5 @@
 from .segment_matmul import segment_sum_onehot, gather_onehot, spmm_onehot
 from .pallas_spmm import (spmm_pallas, spmm_reference, spmm_tiled,
                           tile_edge_ranges, pad_edges_to)
+from .pallas_attention import (edge_softmax_attention_reference,
+                               edge_softmax_attention_tiled)

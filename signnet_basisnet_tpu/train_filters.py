@@ -74,11 +74,14 @@ class BasisInvPE(nn.Module):
     mult_list: tuple
     pe_dim: int = 32
     shared: bool = False
+    ign_hidden: int = 32
 
     @nn.compact
     def __call__(self, projs, eigvals, n, training: bool = True):
-        net = (IGNShared(self.mult_list, hidden=16, name="ign") if self.shared
-               else IGNBasisInv(self.mult_list, hidden=32, name="ign"))
+        net = (IGNShared(self.mult_list, hidden=min(self.ign_hidden, 16),
+                         name="ign") if self.shared
+               else IGNBasisInv(self.mult_list, hidden=self.ign_hidden,
+                                name="ign"))
         phi_outs = net(projs, training=training)
         feats = basis_features(phi_outs, n)               # n x (total vecs)
         lam = jnp.broadcast_to(eigvals[None, :], (n, eigvals.shape[0]))
@@ -100,6 +103,7 @@ class FilterModel(nn.Module):
     basis_inv_net: str = "IGN"
     mult_list: tuple = ()
     k: int = 0
+    ign_hidden: int = 32
 
     @nn.compact
     def __call__(self, gb, x, eigvecs=None, eigvals=None, projs=None,
@@ -128,6 +132,7 @@ class FilterModel(nn.Module):
             elif self.lap_method == "basis_inv":
                 pe = BasisInvPE(self.mult_list,
                                 shared=self.basis_inv_net == "IGNShared",
+                                ign_hidden=self.ign_hidden,
                                 name="pe")(projs, eigvals, n,
                                            training=training)
                 x = jnp.concatenate([x, pe], -1)
@@ -168,7 +173,8 @@ def run(args, log=print):
                         lap_method=args.lap_method,
                         sign_inv_net=args.sign_inv_net,
                         basis_inv_net=args.basis_inv_net,
-                        mult_list=mult_list, k=k)
+                        mult_list=mult_list, k=k,
+                        ign_hidden=args.ign_hidden)
     tx = adam()
     results = []
     x_all = jnp.asarray(data["x"])
@@ -205,10 +211,11 @@ def run(args, log=print):
             params, bs, opt_state, best_loss, best_r2 = carry
             params, bs, opt_state, loss, r2 = train_step(
                 params, bs, opt_state, rng, x, y, eig_kwargs)
-            # reference tracks min loss and max r2 independently
-            # (LearningFilters/training.py:236-249)
-            best_loss = jnp.minimum(loss, best_loss)
-            best_r2 = jnp.maximum(r2, best_r2)
+            # reference records the r2 AT the min-loss epoch, not an
+            # independent max (LearningFilters/training.py:241-245)
+            better = loss < best_loss
+            best_r2 = jnp.where(better, r2, best_r2)
+            best_loss = jnp.where(better, loss, best_loss)
             return (params, bs, opt_state, best_loss, best_r2), None
         (params, bs, opt_state, best_loss, best_r2), _ = jax.lax.scan(
             body, (params, bs, opt_state, best_loss, best_r2), rngs_blk)
@@ -280,6 +287,11 @@ def build_parser():
     ap.add_argument("--lap_method", default="none")
     ap.add_argument("--sign_inv_net", default="DS")
     ap.add_argument("--basis_inv_net", default="IGN")
+    ap.add_argument("--ign_hidden", type=int, default=32,
+                    help="IGN phi width; 16 reproduces the published "
+                         "48k-param BasisNet row (the reference code's "
+                         "constructor default before hidden_channels=32 "
+                         "was hardcoded in gen_basis_inv)")
     ap.add_argument("--hidden_channels", type=int, default=32)
     ap.add_argument("--num_layers", type=int, default=2)
     ap.add_argument("--scan_epochs", type=int, default=100,
