@@ -209,14 +209,29 @@ def bench_torch_cpu(batches, steps=4):
             h = s.bn(h.reshape(-1, h.shape[-1])).reshape(*shp[:-1], -1)
             return s.l2(h)
 
+    PHI_OUT = 4
+
     class Net(nn.Module):
+        """Architecture-matched to the JAX GINNet+GINDeepSigns benchmark
+        model: phi = SIGN_INV_LAYERS GIN layers at hidden width HIDDEN
+        (final out PHI_OUT), rho = SIGN_INV_LAYERS-layer MLP at HIDDEN,
+        both +-v passes; base = N_LAYERS GIN convs at HIDDEN."""
         def __init__(s):
             super().__init__()
             s.emb = nn.Embedding(28, HIDDEN)
             s.pe_lin = nn.Linear(K, HIDDEN)
-            s.phi = nn.ModuleList([MLP2(1 if i == 0 else 8, 8, 8)
-                                   for i in range(SIGN_INV_LAYERS)])
-            s.rho = nn.Linear(8 * K, K)
+            s.phi = nn.ModuleList([
+                MLP2(1 if i == 0 else HIDDEN,
+                     HIDDEN,
+                     PHI_OUT if i == SIGN_INV_LAYERS - 1 else HIDDEN)
+                for i in range(SIGN_INV_LAYERS)])
+            rho = []
+            d = PHI_OUT * K
+            for i in range(SIGN_INV_LAYERS - 1):
+                rho += [nn.Linear(d, HIDDEN), nn.ReLU()]
+                d = HIDDEN
+            rho.append(nn.Linear(d, K))
+            s.rho = nn.Sequential(*rho)
             s.convs = nn.ModuleList([MLP2(HIDDEN, HIDDEN, HIDDEN)
                                      for _ in range(N_LAYERS)])
             s.head = nn.Linear(HIDDEN, 1)

@@ -88,6 +88,105 @@ def main():
     except Exception as exc:  # noqa: BLE001
         print(f"pallas_tiled: FAILED ({type(exc).__name__}: {exc})")
 
+    bench_attention()
+
+
+def bench_attention(H=8, Dh=10):
+    """Fused edge-softmax attention (pallas) vs its XLA lowering at ZINC
+    production shapes (hidden 80 = 8 heads x 10, the Transformer config)."""
+    rng = np.random.default_rng(2)
+    n_tiles = N // 256
+    t = rng.integers(0, n_tiles, size=E)
+    src = (t * 256 + rng.integers(0, 256, size=E)).astype(np.int32)
+    dst = (t * 256 + rng.integers(0, 256, size=E)).astype(np.int32)
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    em = np.ones(E, np.float32)
+    src_p, dst_p, em_p = ops.pad_edges_to(src, dst, em, 1024)
+    starts, ends = ops.tile_edge_ranges(dst, N, bn=256)
+    Q = jnp.asarray(rng.normal(size=(N, H, Dh)).astype(np.float32))
+    K = jnp.asarray(rng.normal(size=(N, H, Dh)).astype(np.float32))
+    V = jnp.asarray(rng.normal(size=(N, H, Dh)).astype(np.float32))
+    E1 = jnp.asarray(rng.normal(size=(len(src_p), H, Dh)).astype(np.float32))
+    sj, rj, ej = jnp.asarray(src_p), jnp.asarray(dst_p), jnp.asarray(em_p)
+    st, en = jnp.asarray(starts), jnp.asarray(ends)
+
+    xla = jax.jit(lambda Q, K, V, E1: ops.edge_softmax_attention_reference(
+        Q, K, V, E1, sj, rj, ej, N))
+    pal = jax.jit(lambda Q, K, V, E1: ops.edge_softmax_attention_tiled(
+        Q, K, V, E1, sj, rj, ej, st, en, N, 256))
+    try:
+        t_x = timeit(xla, Q, K, V, E1)
+        t_p = timeit(pal, Q, K, V, E1)
+        err = float(jnp.abs(pal(Q, K, V, E1) - xla(Q, K, V, E1)).max())
+        print(f"attn_xla:     {t_x * 1e6:8.1f} us  "
+              f"({E / t_x / 1e6:.1f} Medges/s)")
+        print(f"attn_pallas:  {t_p * 1e6:8.1f} us  "
+              f"({E / t_p / 1e6:.1f} Medges/s)  max_err={err:.2e}  "
+              f"speedup={t_x / t_p:.2f}x")
+
+        # train-step shape: value+grad wrt all four operands
+        gx = jax.jit(jax.grad(lambda Q, K, V, E1:
+                              (xla(Q, K, V, E1) ** 2).sum(),
+                              argnums=(0, 1, 2, 3)))
+        gp = jax.jit(jax.grad(lambda Q, K, V, E1:
+                              (pal(Q, K, V, E1) ** 2).sum(),
+                              argnums=(0, 1, 2, 3)))
+        t_gx = timeit(gx, Q, K, V, E1)
+        t_gp = timeit(gp, Q, K, V, E1)
+        print(f"attn_xla+bwd:    {t_gx * 1e6:8.1f} us")
+        print(f"attn_pallas+bwd: {t_gp * 1e6:8.1f} us  "
+              f"speedup={t_gx / t_gp:.2f}x")
+    except Exception as exc:  # noqa: BLE001
+        print(f"attn_pallas:  FAILED ({type(exc).__name__}: {exc})")
+
+
+def bench_packer(n_graphs=10000, batch=128, reps=20):
+    """Host packer throughput: numpy batch_np vs the native C++ packer
+    (substantiates data/native.py's 'keeps up with the TPU' claim)."""
+    from signnet_basisnet_tpu.data.native import (GraphStore,
+                                                  native_available,
+                                                  pack_batch_native)
+    from signnet_basisnet_tpu.graph import batch_np
+    rng = np.random.default_rng(3)
+    gs = []
+    for _ in range(n_graphs):
+        n = int(rng.integers(10, 38))
+        e = int(rng.integers(n, 3 * n))
+        s = rng.integers(0, n, e).astype(np.int32)
+        r = rng.integers(0, n, e).astype(np.int32)
+        gs.append(dict(senders=s, receivers=r,
+                       node_feat=rng.integers(0, 28, n).astype(np.int32),
+                       edge_feat=rng.integers(0, 4, e).astype(np.int32),
+                       y=np.array([float(rng.normal())], np.float32),
+                       eigvecs=rng.normal(size=(n, 8)).astype(np.float32),
+                       eigvals=rng.normal(size=(8,)).astype(np.float32)))
+    nb, eb, gc = 3584, 14336, batch + 1
+    idx = np.arange(batch)
+
+    t0 = time.perf_counter()
+    for i in range(reps):
+        sel = [gs[(i * batch + j) % n_graphs] for j in range(batch)]
+        batch_np(sel, nb, eb, gc, k=8)
+    t_np = (time.perf_counter() - t0) / reps
+
+    if native_available():
+        store = GraphStore(gs, k=8)
+        t0 = time.perf_counter()
+        for i in range(reps):
+            pack_batch_native(store, (idx + i * batch) % n_graphs, nb, eb, gc)
+        t_nat = (time.perf_counter() - t0) / reps
+        print(f"pack_numpy:   {t_np * 1e3:8.2f} ms/batch "
+              f"({batch / t_np:.0f} graphs/s)")
+        print(f"pack_native:  {t_nat * 1e3:8.2f} ms/batch "
+              f"({batch / t_nat:.0f} graphs/s)  speedup={t_np / t_nat:.1f}x")
+    else:
+        print(f"pack_numpy:   {t_np * 1e3:8.2f} ms/batch; native lib not "
+              f"built (make -C native)")
+
 
 if __name__ == "__main__":
-    main()
+    if "--packer" in sys.argv:
+        bench_packer()
+    else:
+        main()

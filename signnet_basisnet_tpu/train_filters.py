@@ -144,6 +144,17 @@ class FilterModel(nn.Module):
 
 
 def run(args, log=print):
+    if getattr(args, "matmul_precision", None):
+        # TPU f32 matmuls default to reduced-precision bf16 passes; the
+        # reference trains true-f32 on CUDA.  'highest' restores parity
+        # (3-pass f32 emulation) — decisive for images that must reach
+        # ~1e-4 full-batch MSE.
+        with jax.default_matmul_precision(args.matmul_precision):
+            return _run(args, log)
+    return _run(args, log)
+
+
+def _run(args, log=print):
     data = load_twodgrid(args.mat_path)
     n = data["n"]
     y_all = filter_labels(data, args.filter_type, cache_dir=args.label_dir)
@@ -223,7 +234,9 @@ def run(args, log=print):
 
     jit_block = jax.jit(epoch_block)
 
-    for img in range(args.img_num):
+    img_ids = ([int(s) for s in args.img_ids.split(",")]
+               if getattr(args, "img_ids", "") else range(args.img_num))
+    for img in img_ids:
         x = x_all[:, img:img + 1]
         y = jnp.asarray(y_all[:, img:img + 1])
         base = args.seed * 100003 + img
@@ -283,6 +296,8 @@ def build_parser():
     ap.add_argument("--net", default="BernNet",
                     choices=list(FILTER_MODEL_REGISTRY))
     ap.add_argument("--img_num", type=int, default=3)
+    ap.add_argument("--img_ids", default="",
+                    help="comma-separated image indices (overrides img_num)")
     ap.add_argument("--use_eig", action="store_true")
     ap.add_argument("--lap_method", default="none")
     ap.add_argument("--sign_inv_net", default="DS")
@@ -296,6 +311,10 @@ def build_parser():
     ap.add_argument("--num_layers", type=int, default=2)
     ap.add_argument("--scan_epochs", type=int, default=100,
                     help="epochs per on-device lax.scan block")
+    ap.add_argument("--matmul_precision", default=None,
+                    choices=[None, "default", "high", "highest"],
+                    help="jax.default_matmul_precision for the run; "
+                         "'highest' = f32 parity with the CUDA reference")
     ap.add_argument("--k", type=int, default=0,
                     help="use only first k eigvecs (0 = all)")
     ap.add_argument("--mat_path", default="data/2dgrid/2Dgrid.mat")
