@@ -123,11 +123,12 @@ def bench_tpu(batches):
     return edges / dt
 
 
-def bench_tpu_scan(batches):
+def bench_tpu_scan(batches, compute_dtype=None):
     """Same model/step, but the whole timed loop runs on-device as one
     lax.scan over steps (batches stacked on a leading axis, cycled by index):
     measures achievable device throughput with host dispatch amortized —
-    the deployment shape for an input pipeline that stages batches ahead."""
+    the deployment shape for an input pipeline that stages batches ahead.
+    compute_dtype=bf16 = the MXU mixed-precision training mode."""
     import jax
     import jax.numpy as jnp
     from signnet_basisnet_tpu.graph import from_arrays
@@ -146,7 +147,8 @@ def bench_tpu_scan(batches):
     tx = adam()
     state = create_state(model, gbs[0], tx,
                          model_kwargs={"pos_enc": gbs[0].eigvecs})
-    predict = make_zinc_predict(model, lap_method="sign_inv")
+    predict = make_zinc_predict(model, lap_method="sign_inv",
+                                compute_dtype=compute_dtype)
     train_step, _ = build_steps(predict, tx, donate=False)
 
     lr = jnp.float32(1e-3)
@@ -275,7 +277,11 @@ def main():
         tpu_eps = bench_tpu_dense()
     elif mode == "scan":
         tpu_eps = bench_tpu_scan(batches)
+    elif mode == "bf16":
+        import jax.numpy as jnp
+        tpu_eps = bench_tpu_scan(batches, compute_dtype=jnp.bfloat16)
     else:  # auto: report the fastest representation/backend
+        import jax.numpy as jnp
         flat_eps = bench_tpu(batches)
         try:
             scan_eps = bench_tpu_scan(batches)
@@ -287,9 +293,14 @@ def main():
         except Exception:
             onehot_eps = 0.0
         seg.set_sum_backend("xla")
-        tpu_eps = max(flat_eps, scan_eps, onehot_eps)
+        try:
+            bf16_eps = bench_tpu_scan(batches, compute_dtype=jnp.bfloat16)
+        except Exception:
+            bf16_eps = 0.0
+        tpu_eps = max(flat_eps, scan_eps, onehot_eps, bf16_eps)
         print(f"# flat={flat_eps:.0f} scan={scan_eps:.0f} "
-              f"scan+onehot={onehot_eps:.0f} edges/s", file=sys.stderr)
+              f"scan+onehot={onehot_eps:.0f} scan+bf16={bf16_eps:.0f} "
+              f"edges/s", file=sys.stderr)
     try:
         cpu_eps = bench_torch_cpu(batches)
     except Exception:

@@ -110,8 +110,11 @@ def _run(cfg, log=print):
     log(f"model: {cfg.model.model} params={count_params(state.params)}")
 
     use_lapeig = cfg.model.use_lapeig_loss and use_lspe
+    import jax.numpy as jnp
+    cdtype = (jnp.dtype(cfg.train.compute_dtype)
+              if cfg.train.compute_dtype else None)
     predict = make_zinc_predict(model, lap_method=cfg.model.lap_method,
-                                return_p=use_lapeig)
+                                return_p=use_lapeig, compute_dtype=cdtype)
     if use_lapeig:
         loss_fn = make_lapeig_loss_fn(cfg.model.alpha_loss,
                                       cfg.model.lambda_loss,

@@ -35,6 +35,9 @@ class TrainConfig:
     # jax.default_matmul_precision for the whole run: None keeps the backend
     # default; 'bfloat16'/'tensorfloat32'/'float32' trade MXU speed/accuracy
     matmul_precision: Optional[str] = None
+    # mixed precision: forward/backward in this dtype, f32 master params,
+    # optimizer and loss ('bfloat16' = MXU-native; default full f32)
+    compute_dtype: Optional[str] = None
 
 
 @dataclass

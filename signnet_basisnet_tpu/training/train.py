@@ -57,11 +57,24 @@ def l1_graph_loss(pred, gb):
     return M.masked_l1(pred, y, gb.graph_mask)
 
 
-def make_zinc_predict(model, lap_method: str = "none", return_p: bool = False):
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+
+
+def make_zinc_predict(model, lap_method: str = "none", return_p: bool = False,
+                      compute_dtype=None):
     """predict() for the DGL-style nets: applies the PE sign-handling then
     the net (reference: train/train_ZINC_graph_regression.py:54-88).
     `return_p=True` also returns the LSPE positional channel for the
-    Laplacian-eigvec auxiliary loss (reference: gin_net.py:140-174)."""
+    Laplacian-eigvec auxiliary loss (reference: gin_net.py:140-174).
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) runs the forward in reduced
+    precision on the MXU while the master params / optimizer / loss stay
+    f32 — the TPU mixed-precision training mode (opt-in; the parity-default
+    is f32)."""
     from ..models.pe import apply_lap_method
 
     def predict(variables, gb, training, rngs, mutable):
@@ -76,8 +89,20 @@ def make_zinc_predict(model, lap_method: str = "none", return_p: bool = False):
             else:
                 pos_enc = apply_lap_method(lap_method, gb, pos_enc, rng=rng)
         kwargs = {"return_p": True} if return_p else {}
-        return model.apply(variables, gb, pos_enc, training=training,
-                           rngs=rngs, mutable=mutable, **kwargs)
+        if compute_dtype is not None:
+            variables = {**variables,
+                         "params": _cast_floats(variables["params"],
+                                                compute_dtype)}
+            pos_enc = (pos_enc.astype(compute_dtype)
+                       if pos_enc is not None else None)
+            gb = _cast_floats(gb, compute_dtype)
+        out = model.apply(variables, gb, pos_enc, training=training,
+                          rngs=rngs, mutable=mutable, **kwargs)
+        if compute_dtype is not None:
+            pred, updates = out
+            out = (_cast_floats(pred, jnp.float32),
+                   _cast_floats(updates, jnp.float32))
+        return out
 
     return predict
 
