@@ -298,13 +298,25 @@ class GatedGCNLayer(nn.Module):
         Dh = Linear(self.features, name="D")(h)
         Eh = Linear(self.features, name="E")(h)
 
-        e_new = Dh[gb.senders] + Eh[gb.receivers] + Ce
-        sigma = nn.sigmoid(e_new)
-        em = gb.edge_mask[:, None]
-        sum_sigma_h = seg.segment_sum(sigma * Bh[gb.senders] * em,
-                                      gb.receivers, gb.num_nodes)
-        sum_sigma = seg.segment_sum(sigma * em, gb.receivers, gb.num_nodes)
-        h_new = Ah + sum_sigma_h / (sum_sigma + 1e-6)
+        if (seg.get_agg_backend() == "pallas_tile"
+                and "tile_starts" in gb.extras):
+            # fused Pallas gate+aggregate (ops/pallas_gatedgcn)
+            from ..ops import gatedgcn_gate_tiled
+            bn = gb.num_nodes // gb.extras["tile_starts"].shape[0]
+            agg, e_new = gatedgcn_gate_tiled(
+                Bh, Dh, Eh, Ce, gb.senders, gb.receivers, gb.edge_mask,
+                gb.extras["tile_starts"], gb.extras["tile_ends"],
+                gb.num_nodes, bn)
+            h_new = Ah + agg
+        else:
+            e_new = Dh[gb.senders] + Eh[gb.receivers] + Ce
+            sigma = nn.sigmoid(e_new)
+            em = gb.edge_mask[:, None]
+            sum_sigma_h = seg.segment_sum(sigma * Bh[gb.senders] * em,
+                                          gb.receivers, gb.num_nodes)
+            sum_sigma = seg.segment_sum(sigma * em, gb.receivers,
+                                        gb.num_nodes)
+            h_new = Ah + sum_sigma_h / (sum_sigma + 1e-6)
 
         if self.graph_norm and snorm_n is not None:
             h_new = h_new * snorm_n

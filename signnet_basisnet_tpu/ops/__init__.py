@@ -3,3 +3,4 @@ from .pallas_spmm import (spmm_pallas, spmm_reference, spmm_tiled,
                           tile_edge_ranges, pad_edges_to)
 from .pallas_attention import (edge_softmax_attention_reference,
                                edge_softmax_attention_tiled)
+from .pallas_gatedgcn import gatedgcn_gate_reference, gatedgcn_gate_tiled

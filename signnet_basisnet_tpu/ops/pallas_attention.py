@@ -104,11 +104,14 @@ def _attn_kernel(starts_ref, ends_ref, senders_ref, receivers_ref, em_ref,
             # SDDMM: gather K/Q rows on the MXU, modulate by E1, reduce per
             # head with the indicator matmul (1/sqrt(D) pre-folded into Q)
             Kg = jnp.dot(src_oh, k_ref[:],
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
             Qg = jnp.dot(dst_oh, q_ref[:],
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
             prod = Kg * Qg * e1_all[sl]
-            sc = jnp.dot(prod, M, preferred_element_type=jnp.float32)
+            sc = jnp.dot(prod, M, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
             # clamped-exp softmax numerator (reference transformer.py:35-52),
             # masked to real edges and real heads
             s = jnp.exp(jnp.clip(sc, -5.0, 5.0))
@@ -117,16 +120,21 @@ def _attn_kernel(starts_ref, ends_ref, senders_ref, receivers_ref, em_ref,
             # value aggregation: expand s back to feature lanes, weight the
             # gathered V rows, scatter both numerator and denominator
             Vg = jnp.dot(src_oh, v_ref[:],
-                         preferred_element_type=jnp.float32)
-            wv = jnp.dot(s, M.T, preferred_element_type=jnp.float32) * Vg
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            wv = jnp.dot(s, M.T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST) * Vg
             acc_ref[:] += jnp.dot(dst_oh.T, wv,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
             den_ref[:] += jnp.dot(dst_oh.T, s,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         return ()
 
     jax.lax.fori_loop(0, num_chunks, body, ())
-    den_exp = jnp.dot(den_ref[:], M.T, preferred_element_type=jnp.float32)
+    den_exp = jnp.dot(den_ref[:], M.T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
     out_ref[:] = (acc_ref[:] / (den_exp + 1e-6)).astype(out_ref.dtype)
 
 
