@@ -19,3 +19,21 @@ training  : config system, optimizers/schedules, train/eval loops, checkpointing
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the flagship programs take O(100 s) to
+# compile on a tunneled TPU backend, and the protocol sweeps re-run the same
+# HLO across seeds.  Opt out with SIGNNET_TPU_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("SIGNNET_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), ".jax_cache"))
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

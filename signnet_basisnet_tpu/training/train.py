@@ -189,13 +189,18 @@ class FitResult:
 
 
 def evaluate(eval_step, state, batches, rng=None) -> Dict[str, float]:
-    tot = {"loss_sum": 0.0, "mae_sum": 0.0, "n": 0.0}
+    # Accumulate per-batch metric arrays on device and fetch ONCE at the end:
+    # a per-batch float() would force a host sync (a full round-trip on a
+    # tunneled TPU) and serialize dispatch against compute.
+    outs = []
     for gb in batches:
         if rng is not None:
             rng, sub = jax.random.split(rng)
-            out = eval_step(state, gb, sub)
+            outs.append(eval_step(state, gb, sub))
         else:
-            out = eval_step(state, gb)
+            outs.append(eval_step(state, gb))
+    tot = {"loss_sum": 0.0, "mae_sum": 0.0, "n": 0.0}
+    for out in jax.device_get(outs):
         for k in tot:
             tot[k] += float(out[k])
     n = max(tot["n"], 1.0)
@@ -250,13 +255,19 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
     try:
         for epoch in range(start_epoch, epochs):
             te0 = time.time()
-            losses, maes, nb = 0.0, 0.0, 0
+            # keep the whole epoch's step dispatch asynchronous: metrics stay
+            # on device (tiny scalars) and are fetched in one transfer at the
+            # end of the epoch — a per-batch float() costs a full host<->TPU
+            # round-trip and was the dominant epoch cost on tunneled chips
+            ms = []
             for gb in train_batches_fn(epoch):
                 rng, sub = jax.random.split(rng)
                 state, m = train_step(state, gb, sched.lr, sub)
-                losses += float(m["loss"]); maes += float(m["mae"]); nb += 1
-            train_loss = losses / max(nb, 1)
-            train_mae = maes / max(nb, 1)
+                ms.append(m)
+            nb = len(ms)
+            ms = jax.device_get(ms)
+            train_loss = sum(float(m["loss"]) for m in ms) / max(nb, 1)
+            train_mae = sum(float(m["mae"]) for m in ms) / max(nb, 1)
             if not np.isfinite(train_loss):
                 # failure detection the reference lacks (SURVEY.md §5): a
                 # non-finite loss poisons Adam state — stop with a clear
