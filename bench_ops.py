@@ -89,6 +89,139 @@ def main():
         print(f"pallas_tiled: FAILED ({type(exc).__name__}: {exc})")
 
     bench_attention()
+    bench_gatedgcn()
+    bench_train_steps()
+
+
+def _tiled_edges(rng, bn=256):
+    n_tiles = N // bn
+    t = rng.integers(0, n_tiles, size=E)
+    src = (t * bn + rng.integers(0, bn, size=E)).astype(np.int32)
+    dst = (t * bn + rng.integers(0, bn, size=E)).astype(np.int32)
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    em = np.ones(E, np.float32)
+    src_p, dst_p, em_p = ops.pad_edges_to(src, dst, em, 1024)
+    starts, ends = ops.tile_edge_ranges(dst, N, bn=bn)
+    return (jnp.asarray(src_p), jnp.asarray(dst_p), jnp.asarray(em_p),
+            jnp.asarray(starts), jnp.asarray(ends), len(src_p))
+
+
+def bench_gatedgcn(F=68):
+    """Fused GatedGCN gate+aggregate kernel vs its XLA lowering at the ZINC
+    GatedGCN config width (hidden 68) — first benchmark of this kernel
+    (VERDICT r2 directive #4)."""
+    rng = np.random.default_rng(4)
+    sj, rj, ej, st, en, Ep = _tiled_edges(rng)
+    Bh = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    Dh = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    Eh = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    Ce = jnp.asarray(rng.normal(size=(Ep, F)).astype(np.float32))
+
+    xla = jax.jit(lambda Bh, Dh, Eh, Ce: ops.gatedgcn_gate_reference(
+        Bh, Dh, Eh, Ce, sj, rj, ej, N))
+    pal = jax.jit(lambda Bh, Dh, Eh, Ce: ops.gatedgcn_gate_tiled(
+        Bh, Dh, Eh, Ce, sj, rj, ej, st, en, N, 256))
+    try:
+        t_x = timeit(xla, Bh, Dh, Eh, Ce)
+        t_p = timeit(pal, Bh, Dh, Eh, Ce)
+        ox, op_ = xla(Bh, Dh, Eh, Ce), pal(Bh, Dh, Eh, Ce)
+        err = max(float(jnp.abs(a - b).max()) for a, b in zip(ox, op_))
+        print(f"gate_xla:     {t_x * 1e6:8.1f} us  "
+              f"({E / t_x / 1e6:.1f} Medges/s)")
+        print(f"gate_pallas:  {t_p * 1e6:8.1f} us  "
+              f"({E / t_p / 1e6:.1f} Medges/s)  max_err={err:.2e}  "
+              f"speedup={t_x / t_p:.2f}x")
+
+        def loss_x(Bh, Dh, Eh, Ce):
+            agg, e_new = xla(Bh, Dh, Eh, Ce)
+            return (agg ** 2).sum() + (e_new ** 2).sum()
+
+        def loss_p(Bh, Dh, Eh, Ce):
+            agg, e_new = pal(Bh, Dh, Eh, Ce)
+            return (agg ** 2).sum() + (e_new ** 2).sum()
+
+        gx = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2, 3)))
+        gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2, 3)))
+        t_gx = timeit(gx, Bh, Dh, Eh, Ce)
+        t_gp = timeit(gp, Bh, Dh, Eh, Ce)
+        print(f"gate_xla+bwd:    {t_gx * 1e6:8.1f} us")
+        print(f"gate_pallas+bwd: {t_gp * 1e6:8.1f} us  "
+              f"speedup={t_gx / t_gp:.2f}x")
+    except Exception as exc:  # noqa: BLE001
+        print(f"gate_pallas:  FAILED ({type(exc).__name__}: {exc})")
+
+
+def bench_train_steps():
+    """FULL train step of TransformerNet and GatedGCNNet at ZINC shapes,
+    XLA backend vs pallas_tile backend (tile-local batches both ways):
+    the number that decides whether the fused kernels ship as defaults."""
+    import jax.numpy as jnp  # noqa: F811
+    from signnet_basisnet_tpu.data import (add_lap_pe, choose_budgets,
+                                           pack_batches, synthetic_zinc)
+    from signnet_basisnet_tpu.graph import from_arrays
+    from signnet_basisnet_tpu.graph import segment as seg
+    from signnet_basisnet_tpu.models import gnn_model
+    from signnet_basisnet_tpu.training import (adam, build_steps,
+                                               create_state,
+                                               make_zinc_predict)
+
+    splits = synthetic_zinc(num_train=128, num_val=8, num_test=8, seed=0)
+    train = splits["train"]
+    add_lap_pe(train, 8)
+    nb, eb, gc = choose_budgets(train, 128, tile=256)
+    arrays = pack_batches(train, nb, eb, gc, k=8, tile=256)[0]
+    gb = from_arrays(arrays)
+    edges = float(np.asarray(arrays["edge_mask"]).sum())
+
+    cfgs = {
+        "Transformer": dict(hidden_dim=64, out_dim=64, n_layers=10,
+                            num_heads=8, pos_enc_dim=8, lap_method="sign_inv",
+                            sign_inv_net="gin", sign_inv_layers=8,
+                            phi_out_dim=4, edge_feat=True, batch_norm=True,
+                            dropout=0.0),
+        "GatedGCN": dict(hidden_dim=68, out_dim=68, n_layers=16,
+                         pos_enc_dim=8, lap_method="sign_inv",
+                         sign_inv_net="gin", sign_inv_layers=8,
+                         phi_out_dim=4, edge_feat=True, batch_norm=True,
+                         dropout=0.0),
+    }
+    for name, kw in cfgs.items():
+        model = gnn_model(name, **kw)
+        tx = adam()
+        state = create_state(model, gb, tx,
+                             model_kwargs={"pos_enc": gb.eigvecs})
+        predict = make_zinc_predict(model, lap_method="sign_inv")
+        lr = jnp.float32(1e-3)
+        rng = jax.random.PRNGKey(0)
+        times = {}
+        for backend in ("xla", "pallas_tile"):
+            seg.set_agg_backend(backend)
+            try:
+                train_step, _ = build_steps(predict, tx, donate=False)
+                st = state
+                for _ in range(5):
+                    st, m = train_step(st, gb, lr, rng)
+                jax.block_until_ready(m["loss"])
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    st2 = st
+                    for _ in range(20):
+                        st2, m = train_step(st2, gb, lr, rng)
+                    jax.block_until_ready(m["loss"])
+                    best = min(best, (time.perf_counter() - t0) / 20)
+                times[backend] = best
+                print(f"{name}_step_{backend}: {best * 1e6:9.1f} us  "
+                      f"({edges / best / 1e6:.2f} M real edges/s)")
+            except Exception as exc:  # noqa: BLE001
+                print(f"{name}_step_{backend}: FAILED "
+                      f"({type(exc).__name__}: {exc})")
+            finally:
+                seg.set_agg_backend("xla")
+        if len(times) == 2:
+            print(f"{name}_step speedup (pallas vs xla): "
+                  f"{times['xla'] / times['pallas_tile']:.3f}x")
 
 
 def bench_attention(H=8, Dh=10):

@@ -93,14 +93,14 @@ def pack_batches(graphs: Sequence[dict], num_nodes: int, num_edges: int,
 
 
 def iterate_graphbatches(graphs, num_nodes, num_edges, num_graphs,
-                         shuffle=False, seed=0, k=None,
+                         shuffle=False, seed=0, k=None, tile=None,
                          prefetch: int = 2) -> Iterator:
     """Yield device-ready GraphBatch objects with background prefetch."""
     def producer(q):
         try:
             for arrays in pack_batches(graphs, num_nodes, num_edges,
                                        num_graphs, shuffle=shuffle,
-                                       seed=seed, k=k):
+                                       seed=seed, k=k, tile=tile):
                 q.put(from_arrays(arrays))
         finally:
             q.put(None)

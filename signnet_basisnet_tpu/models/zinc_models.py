@@ -96,9 +96,15 @@ class _Base(nn.Module):
             return TransformerDeepSigns(
                 hidden=self.hidden_dim, num_layers=min(self.sign_inv_layers, 4),
                 k=self.pos_enc_dim, n_max=self.max_nodes, name="sign_inv_net")
+        # use_bn=True always: the reference hardcodes it for every sign_inv
+        # variant (sign_inv_net.py:8-14) and it is load-bearing — without BN
+        # the 8-layer sum-aggregation phi produces unbounded activations
+        # (~1e8 on outlier batches), which transiently poison the base net's
+        # BN running stats and caused the r2 val-MAE spikes (results/r3/
+        # probe_spike.log: max running var 1e16 by epoch 20 without phi BN).
         kw = dict(hidden=self.hidden_dim, phi_out=self.phi_out_dim,
                   num_layers=self.sign_inv_layers, k=self.pos_enc_dim,
-                  use_bn=False, dropout=0.0, name="sign_inv_net")
+                  use_bn=True, dropout=self.dropout, name="sign_inv_net")
         if self.sign_inv_net == "masked_gin":
             return MaskedGINDeepSigns(**kw)
         if self.sign_inv_net not in ("gin", "gcn", "gat"):

@@ -58,23 +58,32 @@ def build_dp_steps(predict, tx, mesh: Mesh, loss_fn=l1_graph_loss):
 
         n_local = jax.tree.leaves(gb_stack)[0].shape[0]
 
-        def body(carry, inp):
-            i, gb = inp
-            loss_i, mae_i, grads_i, bs_i = one(gb, jax.random.fold_in(rng, i))
-            g_acc, b_acc, l_acc, m_acc = carry
-            return (jax.tree.map(jnp.add, g_acc, grads_i),
-                    jax.tree.map(jnp.add, b_acc, bs_i),
-                    l_acc + loss_i, m_acc + mae_i), None
+        if n_local == 1:
+            # one microbatch per device (the common case): skip the scan —
+            # a length-1 lax.scan wraps the whole fwd+bwd in a while loop,
+            # which blocks XLA fusion across the loop boundary and costs
+            # real runtime (VERDICT r2 #8)
+            gb = jax.tree.map(lambda x: x[0], gb_stack)
+            loss, mae, grads, bs = one(gb, jax.random.fold_in(rng, 0))
+        else:
+            def body(carry, inp):
+                i, gb = inp
+                loss_i, mae_i, grads_i, bs_i = one(
+                    gb, jax.random.fold_in(rng, i))
+                g_acc, b_acc, l_acc, m_acc = carry
+                return (jax.tree.map(jnp.add, g_acc, grads_i),
+                        jax.tree.map(jnp.add, b_acc, bs_i),
+                        l_acc + loss_i, m_acc + mae_i), None
 
-        init = (jax.tree.map(jnp.zeros_like, state.params),
-                jax.tree.map(jnp.zeros_like, state.batch_stats),
-                jnp.zeros(()), jnp.zeros(()))
-        (grads_acc, bs_acc, loss_sum, mae_sum), _ = jax.lax.scan(
-            body, init, (jnp.arange(n_local), gb_stack))
-        grads = jax.tree.map(lambda g: g / n_local, grads_acc)
-        bs = jax.tree.map(lambda b: b / n_local, bs_acc)
-        loss = loss_sum / n_local
-        mae = mae_sum / n_local
+            init = (jax.tree.map(jnp.zeros_like, state.params),
+                    jax.tree.map(jnp.zeros_like, state.batch_stats),
+                    jnp.zeros(()), jnp.zeros(()))
+            (grads_acc, bs_acc, loss_sum, mae_sum), _ = jax.lax.scan(
+                body, init, (jnp.arange(n_local), gb_stack))
+            grads = jax.tree.map(lambda g: g / n_local, grads_acc)
+            bs = jax.tree.map(lambda b: b / n_local, bs_acc)
+            loss = loss_sum / n_local
+            mae = mae_sum / n_local
 
         # cross-device reductions ride ICI
         grads = jax.lax.pmean(grads, dp_axes)

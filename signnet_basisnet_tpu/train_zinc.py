@@ -19,7 +19,8 @@ import jax
 import numpy as np
 
 from .data import (add_full_evd, add_lap_pe, add_rwpe, avg_degree_stats,
-                   choose_budgets, load_zinc, pack_batches)
+                   choose_budgets, iterate_graphbatches, load_zinc,
+                   pack_batches)
 from .graph import from_arrays
 from .models import gnn_model
 from .training import (Checkpointer, adam, build_steps, count_params,
@@ -128,8 +129,12 @@ def _run(cfg, log=print):
 
     result = fit(
         state, train_step, eval_step,
-        train_batches_fn=lambda ep: make_batches(splits["train"], True,
-                                                 cfg.train.seed + ep),
+        # background-thread prefetch: packing + host->device transfer of the
+        # next batches overlap device compute (the reference's DataLoader
+        # workers, main_ZINC_graph_regression.py:165-167)
+        train_batches_fn=lambda ep: iterate_graphbatches(
+            splits["train"], nb, eb, gb_cnt, shuffle=True,
+            seed=cfg.train.seed + ep, k=k, tile=tile, prefetch=4),
         val_batches_fn=lambda: val_batches,
         test_batches_fn=lambda: test_batches,
         epochs=cfg.train.epochs, init_lr=cfg.train.init_lr,
