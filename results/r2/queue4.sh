@@ -1,10 +1,12 @@
 #!/bin/bash
 # Deadline-gated TPU queue: each step only starts if enough margin remains
-# before the driver's end-of-round bench (est. 09:40 UTC).  $1 = pid of the
-# in-flight gatedgcn_s41 run.
+# before the driver's end-of-round bench.  $1 = pid of the in-flight
+# gatedgcn_s41 run; $2 = deadline as absolute epoch seconds (required —
+# a bare clock time would silently mean "today" and misbehave when started
+# after the deadline or across midnight).
 cd /root/repo
-DEADLINE=$(date -d "09:28" +%s)
-left () { echo $(( $(date -d "09:28" +%s) - $(date +%s) )); }
+DEADLINE=${2:?usage: queue4.sh <pid> <deadline_epoch_s>}
+left () { echo $(( DEADLINE - $(date +%s) )); }
 
 while kill -0 $1 2>/dev/null; do sleep 15; done
 tail -1 results/r2/zinc/gatedgcn_zinc_signinv_gin_s41.log >> results/r2/zinc/queue.out

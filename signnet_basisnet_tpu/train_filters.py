@@ -234,8 +234,14 @@ def _run(args, log=print):
 
     jit_block = jax.jit(epoch_block)
 
-    img_ids = ([int(s) for s in args.img_ids.split(",")]
-               if getattr(args, "img_ids", "") else range(args.img_num))
+    img_ids = list([int(s) for s in args.img_ids.split(",")]
+                   if getattr(args, "img_ids", "") else range(args.img_num))
+
+    vm = max(1, int(getattr(args, "vmap_images", 1)))
+    if vm > 1:
+        return _run_vmapped(args, log, img_ids, vm, model, tx, gb, mask,
+                            x_all, y_all, kwargs, init_fn, epoch_block)
+
     for img in img_ids:
         x = x_all[:, img:img + 1]
         y = jnp.asarray(y_all[:, img:img + 1])
@@ -271,6 +277,10 @@ def _run(args, log=print):
         results.append([best_loss, best_r2])
         log(f"img {img + 1}: loss={best_loss:.6f} r2={best_r2:.4f}")
 
+    return _report(args, results, log)
+
+
+def _report(args, results, log):
     arr = np.array(results)
     log(f"mean loss= {arr[:, 0].mean():.8f} stdev= {arr[:, 0].std():.8f} "
         f"mean r2= {arr[:, 1].mean():.6f}")
@@ -283,6 +293,81 @@ def _run(args, log=print):
                     f"{args.use_eig},{args.lap_method},{args.hidden_channels},"
                     f"{args.num_layers}\n")
     return arr
+
+
+def _run_vmapped(args, log, img_ids, vm, model, tx, gb, mask, x_all, y_all,
+                 kwargs, init_fn, epoch_block):
+    """Image-parallel training: vmap the whole per-image protocol (fresh
+    model, full-batch Adam epochs) over chunks of `vm` images at once.
+
+    The per-image math is identical to the serial path — same init keys,
+    same rng streams, same best-(loss, r2) tracking — but one jitted
+    program trains `vm` independent models simultaneously, so the TPU sees
+    batched matmuls instead of 50 sequential tiny-model runs.  Protocol per
+    reference LearningFilters/training.py:230-255 (per-image fresh model);
+    batching images is an execution-schedule change only."""
+
+    def init_one(rngs, x):
+        return init_fn(rngs, gb, x, **kwargs)
+
+    vinit = jax.jit(jax.vmap(init_one))
+    vtx_init = jax.jit(jax.vmap(tx.init))
+    in_ax = (0, 0, 0, 0, 0, 0, 0, 0, None)
+    vblock = jax.jit(jax.vmap(epoch_block, in_axes=in_ax))
+
+    blk = max(1, min(args.scan_epochs, args.epochs))
+
+    def vsplit_one(key):
+        # same stream as the serial loop: rng, sub = split(rng);
+        # rngs_blk = split(sub, blk)
+        key, sub = jax.random.split(key)
+        return key, jax.random.split(sub, blk)
+
+    vsplit = jax.jit(jax.vmap(vsplit_one))
+
+    results = {}
+    for c0 in range(0, len(img_ids), vm):
+        chunk = img_ids[c0:c0 + vm]
+        bases = [args.seed * 100003 + img for img in chunk]
+        xs = jnp.stack([x_all[:, img:img + 1] for img in chunk])
+        ys = jnp.stack([jnp.asarray(y_all[:, img:img + 1]) for img in chunk])
+        rngs = {
+            "params": jnp.stack([jax.random.PRNGKey(b) for b in bases]),
+            "dropout": jnp.stack([jax.random.PRNGKey(b + 1) for b in bases]),
+            "sign_flip": jnp.stack([jax.random.PRNGKey(b + 2)
+                                    for b in bases]),
+        }
+        variables = vinit(rngs, xs)
+        params = variables["params"]
+        bs = variables.get("batch_stats", {})
+        opt_state = vtx_init(params)
+        if c0 == 0:
+            one = jax.tree.map(lambda a: a[0], params)
+            log(f"PARAMETERS: {count_params(one)} "
+                f"(x{vm} image-parallel models)")
+
+        t0 = time.time()
+        rng = jnp.stack([jax.random.PRNGKey(1000 + b) for b in bases])
+        best_loss = jnp.full((len(chunk),), jnp.inf, jnp.float32)
+        best_r2 = jnp.zeros((len(chunk),), jnp.float32)
+        done = 0
+        while done < args.epochs:
+            rng, rngs_blk = vsplit(rng)
+            params, bs, opt_state, best_loss, best_r2 = vblock(
+                params, bs, opt_state, best_loss, best_r2, rngs_blk, xs, ys,
+                kwargs)
+            done += blk
+            if done % 1000 < blk or done >= args.epochs:
+                bl = np.asarray(best_loss)
+                log(f"imgs {chunk[0]}-{chunk[-1]} epoch {done} "
+                    f"mean_min_loss {bl.mean():.6f} worst {bl.max():.6f} "
+                    f"({time.time() - t0:.1f}s)")
+                t0 = time.time()
+        bl, br = np.asarray(best_loss), np.asarray(best_r2)
+        for i, img in enumerate(chunk):
+            results[img] = [float(bl[i]), float(br[i])]
+            log(f"img {img + 1}: loss={bl[i]:.6f} r2={br[i]:.4f}")
+    return _report(args, [results[i] for i in img_ids], log)
 
 
 def build_parser():
@@ -311,6 +396,10 @@ def build_parser():
     ap.add_argument("--num_layers", type=int, default=2)
     ap.add_argument("--scan_epochs", type=int, default=100,
                     help="epochs per on-device lax.scan block")
+    ap.add_argument("--vmap_images", type=int, default=1,
+                    help="train this many images' independent models "
+                         "simultaneously via vmap (1 = serial protocol; "
+                         "same per-image math either way)")
     ap.add_argument("--matmul_precision", default=None,
                     choices=[None, "default", "high", "highest"],
                     help="jax.default_matmul_precision for the run; "
