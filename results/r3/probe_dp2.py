@@ -41,15 +41,16 @@ def make_model_and_predict():
 REPS = 10
 
 
-def timeit(fn, *args, reps=REPS):
-    out = fn(*args)
-    jax.block_until_ready(jax.tree.leaves(out)[0])
+def timeit(fn, state, reps=REPS):
+    # fn(state) -> new state; thread it so donated buffers stay live
+    state = fn(state)
+    jax.block_until_ready(jax.tree.leaves(state)[0])
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = fn(*args)
-        jax.block_until_ready(jax.tree.leaves(out)[0])
+            state = fn(state)
+        jax.block_until_ready(jax.tree.leaves(state)[0])
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
 
@@ -64,20 +65,21 @@ def main():
     tx = adam()
     micro0 = make_micro(0)
     gb0 = from_arrays(micro0)
-    state = create_state(model, gb0, tx)
+    make_state = lambda: create_state(model, gb0, tx)  # fresh per phase:
+    # the dp steps donate their state argument
     lr = jnp.float32(1e-3)
     rng = jax.random.PRNGKey(0)
 
     # --- single-device reference (one microbatch = the per-device work)
     train_step, _ = build_steps(predict, tx, donate=False)
-    t_single = timeit(lambda s: train_step(s, gb0, lr, rng)[0], state)
+    t_single = timeit(lambda s: train_step(s, gb0, lr, rng)[0], make_state())
     print(f"single       {t_single * 1e3:9.2f} ms/step", flush=True)
 
     # --- dp=2 full
     mesh = make_mesh(2)
     stacked = from_arrays(stack_microbatches([make_micro(i) for i in range(2)]))
     dp_step, _ = build_dp_steps(predict, tx, mesh)
-    t_full = timeit(lambda s: dp_step(s, stacked, lr, rng)[0], state)
+    t_full = timeit(lambda s: dp_step(s, stacked, lr, rng)[0], make_state())
     print(f"dp2_full     {t_full * 1e3:9.2f} ms/step  "
           f"eff={t_single / t_full * 100:.1f}%", flush=True)
 
@@ -87,7 +89,7 @@ def main():
     jax.lax.psum = lambda x, axis_name: x
     try:
         nc_step, _ = build_dp_steps(predict, tx, mesh)
-        t_nc = timeit(lambda s: nc_step(s, stacked, lr, rng)[0], state)
+        t_nc = timeit(lambda s: nc_step(s, stacked, lr, rng)[0], make_state())
     finally:
         jax.lax.pmean, jax.lax.psum = orig_pmean, orig_psum
     print(f"dp2_nocoll   {t_nc * 1e3:9.2f} ms/step  "
