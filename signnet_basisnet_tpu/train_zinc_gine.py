@@ -70,11 +70,15 @@ def run(args, log=print):
     best_val, best_test = float("inf"), float("nan")
     for epoch in range(args.epochs):
         t0 = time.time()
-        losses = []
+        # accumulate the epoch loss on device: a float() per batch is a
+        # host round-trip through the TPU tunnel (~5s/epoch at ZINC batch
+        # counts — same fix as fit()/evaluate())
+        loss_sum, n_batches = jnp.float32(0.0), 0
         for gb in mk(splits["train"], True, args.seed * 1000 + epoch):
             rng, sub = jax.random.split(rng)
             state, m = train_step(state, gb, jnp.float32(sched.lr), sub)
-            losses.append(float(m["loss"]))
+            loss_sum = loss_sum + m["loss"]
+            n_batches += 1
         sched.step()
         val = evaluate(eval_step, state, val_b)
         if val["mae"] < best_val:
@@ -82,7 +86,8 @@ def run(args, log=print):
             best_test = evaluate(eval_step, state, test_b)["mae"]
         if epoch % args.log_every == 0:
             log(f"epoch {epoch} lr {sched.lr:.2e} "
-                f"train {np.mean(losses):.4f} val {val['mae']:.4f} "
+                f"train {float(loss_sum) / max(n_batches, 1):.4f} "
+                f"val {val['mae']:.4f} "
                 f"best_test {best_test:.4f} ({time.time() - t0:.1f}s)")
     log(f"FINAL: best_val {best_val:.4f} test-at-best-val {best_test:.4f}")
     return best_test
