@@ -1,9 +1,9 @@
 #!/bin/bash
-# Post-ZINC chip queue (r3): kernel benches -> scan probe -> roofline ->
-# band50 transformer seeds -> Alchemy/GINE aux runs -> final bench.
-# Deadline-gated on absolute epoch seconds so the driver's end-of-round
-# bench.py gets the chip back; every step tees its own log (VERDICT r3
-# directive #10).
+# Post-ZINC chip queue (r3 v2): kernel benches -> scan probe -> roofline ->
+# s95 rerun (patched FINAL_BEST_VAL reporting) -> Alchemy -> band50/GINE
+# interleaved -> final bench.  Deadline-gated on absolute epoch seconds so
+# the driver's end-of-round bench.py gets the chip back; every step tees
+# its own log (VERDICT r3 directive #10).
 cd /root/repo
 DEADLINE=${1:?usage: queue_post.sh <deadline_epoch_s>}
 left () { echo $(( DEADLINE - $(date +%s) )); }
@@ -21,45 +21,60 @@ echo "POST_QUEUE_START $(date -u +%H:%M:%S) left=$(left)s"
 
 step () {  # step <name> <want_timeout> <cmd...>
   local name=$1 want=$2; shift 2
-  if [ "$(left)" -lt 180 ]; then echo "SKIP $name (deadline)"; return; fi
+  if [ "$(left)" -lt 240 ]; then echo "SKIP $name (deadline)"; return; fi
   echo "=== $name start $(date -u +%H:%M:%S) tmo=$(cap "$want")s ==="
   timeout "$(cap "$want")" "$@"
   echo "--- $name rc=$? $(date -u +%H:%M:%S)"
 }
 
 # 1) kernel microbench + full-train-step numbers (VERDICT #4 evidence)
-step bench_ops 1800 bash -c 'python bench_ops.py > results/r3/bench_ops.log 2>&1; python bench_ops.py --packer >> results/r3/bench_ops.log 2>&1'
+step bench_ops 1500 bash -c 'python bench_ops.py > results/r3/bench_ops.log 2>&1; python bench_ops.py --packer >> results/r3/bench_ops.log 2>&1'
 tail -12 results/r3/bench_ops.log
 
 # 2) scan-vs-flat bisection on the real chip (VERDICT #8)
-step probe_scan 1200 bash -c 'python results/r3/probe_scan.py > results/r3/probe_scan.log 2>&1'
-tail -7 results/r3/probe_scan.log
+step probe_scan 1000 bash -c 'python results/r3/probe_scan.py > results/r3/probe_scan.log 2>&1'
+tail -6 results/r3/probe_scan.log
 
 # 3) analytic roofline (VERDICT #3)
-step roofline 1800 bash -c 'python bench_roofline.py > results/r3/roofline.log 2>&1'
+step roofline 1500 bash -c 'python bench_roofline.py > results/r3/roofline.log 2>&1'
 tail -20 results/r3/roofline.log
 
-# 4) band50 SignNet(Transformer) extra seeds (VERDICT #6) — serial protocol,
-# compile cache warm from r2
-for s in 3 4 5; do
-  if grep -q "mean loss" results/r3/band50_signnet_tf_s${s}.log 2>/dev/null; then continue; fi
+# 4) rerun GIN s95 with the patched driver: same protocol, FINAL line now
+# also reports test@best-val (immune to the BN dead-channel eval blowup)
+step gin_s95_rerun 1900 python -m signnet_basisnet_tpu.train_zinc \
+  --config configs/gin_zinc_signinv_gin.json train.seed 95 \
+  train.checkpoint_dir results/r3/zinc/ckpt_gin_s95_rerun \
+  out_dir results/r3/zinc name gin_zinc_signinv_gin_bv_s95
+grep -h "FINAL" results/r3/zinc/gin_zinc_signinv_gin_bv_s95.log 2>/dev/null
+
+# 5) Alchemy 3-seed (VERDICT #5)
+step alchemy 3600 bash -c 'python -m signnet_basisnet_tpu.train_alchemy --seeds 3 --epochs 500 > results/r3/aux/alchemy.log 2>&1'
+tail -5 results/r3/aux/alchemy.log
+
+# 6) band50 transformer seed 3 (VERDICT #6) / GINE seeds interleaved (#5)
+band50 () {
+  local s=$1
+  if grep -q "mean loss" results/r3/band50_signnet_tf_s${s}.log 2>/dev/null; then return; fi
   step band50_tf_s$s 1500 bash -c "python -m signnet_basisnet_tpu.train_filters \
     --filter_type band --net Transformer --hidden_channels 16 --img_num 50 \
     --seed $s --epochs 2000 --scan_epochs 200 --use_eig --lap_method sign_inv \
     --sign_inv_net DS --matmul_precision highest --results_dir results/r3 \
     > results/r3/band50_signnet_tf_s${s}.log 2>&1"
   tail -1 results/r3/band50_signnet_tf_s${s}.log
-done
-
-# 5) Alchemy 3-seed + GINE-ZINC 3-seed (VERDICT #5)
-step alchemy 4200 bash -c 'python -m signnet_basisnet_tpu.train_alchemy --seeds 3 --epochs 500 > results/r3/aux/alchemy.log 2>&1'
-tail -5 results/r3/aux/alchemy.log
-for s in 0 1 2; do
-  step zinc_gine_s$s 1500 bash -c "python -m signnet_basisnet_tpu.train_zinc_gine --seed $s > results/r3/aux/zinc_gine_s${s}.log 2>&1"
+}
+gine () {
+  local s=$1
+  step zinc_gine_s$s 1400 bash -c "python -m signnet_basisnet_tpu.train_zinc_gine --seed $s > results/r3/aux/zinc_gine_s${s}.log 2>&1"
   tail -1 results/r3/aux/zinc_gine_s${s}.log
-done
+}
+band50 3
+gine 0
+gine 1
+band50 4
+gine 2
+band50 5
 
-# 6) final headline bench if time remains
+# 7) final headline bench if time remains
 step bench_final 900 bash -c 'python bench.py > results/r3/bench_final.log 2>&1'
 tail -3 results/r3/bench_final.log
 

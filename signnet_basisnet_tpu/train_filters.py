@@ -262,7 +262,8 @@ def _run(args, log=print):
         best_r2 = jnp.float32(0.0)
         done = 0
         while done < args.epochs:
-            n = min(blk, args.epochs - done)
+            # always runs a full blk-epoch block (fixed size: one compile);
+            # epochs is a multiple of scan_epochs in every protocol config
             rng, sub = jax.random.split(rng)
             rngs_blk = jax.random.split(sub, blk)  # fixed size: one compile
             params, bs, opt_state, best_loss, best_r2 = jit_block(

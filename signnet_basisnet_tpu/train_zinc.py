@@ -148,6 +148,12 @@ def _run(cfg, log=print):
     )
     log(f"FINAL: test_mae={result.test_mae:.4f} val_mae={result.val_mae:.4f} "
         f"epochs={result.epochs_run} time={(time.time() - t0) / 3600:.2f}h")
+    # last-epoch test is the reference's reporting (main_ZINC_graph_
+    # regression.py:233-252); test@best-val is additionally reported since
+    # a late eval-corruption epoch (BN dead-channel blowup, RESULTS.md r3)
+    # can poison the last-epoch number while never being best-val
+    log(f"FINAL_BEST_VAL: test_mae={result.best_val_test_mae:.4f} "
+        f"val_mae={result.best_val_mae:.4f}")
 
     if cfg.out_dir:
         os.makedirs(cfg.out_dir, exist_ok=True)

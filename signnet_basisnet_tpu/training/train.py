@@ -186,6 +186,13 @@ class FitResult:
     val_mae: float
     epochs_run: int
     wall_time: float
+    # test MAE at the best-val epoch (always tracked when a test set is
+    # given): robust to late-training eval corruption — a BN dead channel
+    # revived by an off-distribution eval graph can blow up running-stats
+    # eval (RESULTS.md r3 val-spike post-mortem), and such an epoch is by
+    # construction never best-val
+    best_val_mae: float = float("nan")
+    best_val_test_mae: float = float("nan")
 
 
 def evaluate(eval_step, state, batches, rng=None) -> Dict[str, float]:
@@ -280,8 +287,7 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
             else:
                 e1 = e2 = None
             val = evaluate(eval_step, state, val_batches_fn(), rng=e1)
-            if (best_val_test and test_batches_fn is not None
-                    and val["loss"] <= best_val):
+            if test_batches_fn is not None and val["loss"] <= best_val:
                 best_val = val["loss"]
                 best_test = evaluate(eval_step, state, test_batches_fn(),
                                      rng=e2)["mae"]
@@ -323,7 +329,8 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
     test_mae = best_test if best_val_test else test["mae"]
     return FitResult(state=state, history=history, test_mae=test_mae,
                      val_mae=val["mae"], epochs_run=epochs_run,
-                     wall_time=time.time() - t0)
+                     wall_time=time.time() - t0,
+                     best_val_mae=best_val, best_val_test_mae=best_test)
 
 
 # ---------------------------------------------------------------------------
