@@ -120,9 +120,12 @@ def _run(cfg, log=print):
         loss_fn = make_lapeig_loss_fn(cfg.model.alpha_loss,
                                       cfg.model.lambda_loss,
                                       cfg.model.pos_enc_dim)
-        train_step, eval_step = build_steps(predict, tx, loss_fn=loss_fn)
+        train_step, eval_step = build_steps(
+            predict, tx, loss_fn=loss_fn,
+            eval_bn_mode=cfg.train.eval_bn_mode)
     else:
-        train_step, eval_step = build_steps(predict, tx)
+        train_step, eval_step = build_steps(
+            predict, tx, eval_bn_mode=cfg.train.eval_bn_mode)
 
     ckpt = (Checkpointer(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints)
             if cfg.train.checkpoint_dir else None)

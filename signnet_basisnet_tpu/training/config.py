@@ -38,6 +38,10 @@ class TrainConfig:
     # mixed precision: forward/backward in this dtype, f32 master params,
     # optimizer and loss ('bfloat16' = MXU-native; default full f32)
     compute_dtype: Optional[str] = None
+    # BN statistics at eval: 'running' = torch model.eval() semantics
+    # (reference protocols); 'batch' = track_running_stats=False semantics,
+    # robust to BN dead-channel revival (RESULTS.md r3)
+    eval_bn_mode: str = "running"
 
 
 @dataclass

@@ -131,8 +131,24 @@ def make_module_predict(model):
     return predict
 
 
-def build_steps(predict, tx, loss_fn=l1_graph_loss, donate: bool = True):
-    """Returns jitted (train_step, eval_step)."""
+def build_steps(predict, tx, loss_fn=l1_graph_loss, donate: bool = True,
+                eval_bn_mode: str = "running"):
+    """Returns jitted (train_step, eval_step).
+
+    eval_bn_mode:
+      "running" (default) — eval normalizes with BN running statistics,
+        the torch `model.eval()` semantics of every reference protocol.
+      "batch" — eval normalizes with the eval batch's own statistics
+        (torch `track_running_stats=False` semantics, which the
+        reference's LearningFilters models use — models.py:18-56).  Robust
+        to the BN dead-channel revival pathology (RESULTS.md r3): a
+        channel that is identically zero on training data has running
+        var = 0, and a rare eval graph activating it explodes
+        running-stats eval by 1/sqrt(eps); batch stats cannot mismatch
+        the batch.  Stat updates are discarded; dropout stays off.
+    """
+    if eval_bn_mode not in ("running", "batch"):
+        raise ValueError(eval_bn_mode)
 
     def train_step(state: TrainState, gb, lr, rng):
         rngs = {"dropout": rng, "sign_flip": jax.random.fold_in(rng, 1)}
@@ -163,9 +179,20 @@ def build_steps(predict, tx, loss_fn=l1_graph_loss, donate: bool = True):
         # passing an rng here replicates that, omitting it gives the
         # deterministic identity-sign eval (both documented in PARITY.md)
         rngs = None if rng is None else {"sign_flip": rng}
-        pred, _ = predict({"params": state.params,
-                           "batch_stats": state.batch_stats},
-                          gb, False, rngs, ["batch_stats"])
+        if eval_bn_mode == "batch":
+            # batch-stats eval: training=True forward, stat updates
+            # discarded.  NOTE: modules gate dropout on the same flag, so
+            # this mode assumes dropout=0 configs (all reference ZINC
+            # sign-inv configs are); an inert dropout rng is supplied.
+            rngs = dict(rngs or {})
+            rngs.setdefault("dropout", jax.random.PRNGKey(0))
+            pred, _ = predict({"params": state.params,
+                               "batch_stats": state.batch_stats},
+                              gb, True, rngs, ["batch_stats"])
+        else:
+            pred, _ = predict({"params": state.params,
+                               "batch_stats": state.batch_stats},
+                              gb, False, rngs, ["batch_stats"])
         loss = loss_fn(pred, gb)
         score = pred[0] if isinstance(pred, tuple) else pred
         y = gb.y[:, 0] if (score.ndim == 1 and gb.y.ndim == 2) else gb.y
