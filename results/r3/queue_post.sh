@@ -39,14 +39,6 @@ tail -6 results/r3/probe_scan.log
 step roofline 1500 bash -c 'python bench_roofline.py > results/r3/roofline.log 2>&1'
 tail -20 results/r3/roofline.log
 
-# 4) rerun GIN s95 with the patched driver: same protocol, FINAL line now
-# also reports test@best-val (immune to the BN dead-channel eval blowup)
-step gin_s95_rerun 1900 python -m signnet_basisnet_tpu.train_zinc \
-  --config configs/gin_zinc_signinv_gin.json train.seed 95 \
-  train.checkpoint_dir results/r3/zinc/ckpt_gin_s95_rerun \
-  out_dir results/r3/zinc name gin_zinc_signinv_gin_bv_s95
-grep -h "FINAL" results/r3/zinc/gin_zinc_signinv_gin_bv_s95.log 2>/dev/null
-
 # 5) Alchemy 3-seed (VERDICT #5)
 step alchemy 3600 bash -c 'python -m signnet_basisnet_tpu.train_alchemy --seeds 3 --epochs 500 > results/r3/aux/alchemy.log 2>&1'
 tail -5 results/r3/aux/alchemy.log
