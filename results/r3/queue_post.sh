@@ -39,11 +39,10 @@ tail -6 results/r3/probe_scan.log
 step roofline 1500 bash -c 'python bench_roofline.py > results/r3/roofline.log 2>&1'
 tail -20 results/r3/roofline.log
 
-# 5) Alchemy 3-seed (VERDICT #5)
-step alchemy 3600 bash -c 'python -m signnet_basisnet_tpu.train_alchemy --seeds 3 --epochs 500 > results/r3/aux/alchemy.log 2>&1'
-tail -5 results/r3/aux/alchemy.log
-
-# 6) band50 transformer seed 3 (VERDICT #6) / GINE seeds interleaved (#5)
+# 5) band50 transformer seeds (VERDICT #6) / GINE seeds (#5) first — they
+# have fixed, short durations; Alchemy (#5) then absorbs the remaining
+# budget (its per-seed results are logged as it goes, so a deadline kill
+# still yields completed seeds)
 band50 () {
   local s=$1
   if grep -q "mean loss" results/r3/band50_signnet_tf_s${s}.log 2>/dev/null; then return; fi
@@ -61,8 +60,10 @@ gine () {
 }
 band50 3
 gine 0
-gine 1
+step alchemy 3600 bash -c 'python -m signnet_basisnet_tpu.train_alchemy --seeds 3 --epochs 500 > results/r3/aux/alchemy.log 2>&1'
+tail -5 results/r3/aux/alchemy.log
 band50 4
+gine 1
 gine 2
 band50 5
 
