@@ -39,10 +39,8 @@ tail -6 results/r3/probe_scan.log
 step roofline 1500 bash -c 'python bench_roofline.py > results/r3/roofline.log 2>&1'
 tail -20 results/r3/roofline.log
 
-# 5) band50 transformer seeds (VERDICT #6) / GINE seeds (#5) first — they
-# have fixed, short durations; Alchemy (#5) then absorbs the remaining
-# budget (its per-seed results are logged as it goes, so a deadline kill
-# still yields completed seeds)
+# 5) Alchemy + GINE first (VERDICT #5 — r2's unexecuted aux runs), then
+# band50 seeds (#6); the deadline gate trims the tail.
 band50 () {
   local s=$1
   if grep -q "mean loss" results/r3/band50_signnet_tf_s${s}.log 2>/dev/null; then return; fi
@@ -58,12 +56,14 @@ gine () {
   step zinc_gine_s$s 1400 bash -c "python -m signnet_basisnet_tpu.train_zinc_gine --seed $s > results/r3/aux/zinc_gine_s${s}.log 2>&1"
   tail -1 results/r3/aux/zinc_gine_s${s}.log
 }
-band50 3
-gine 0
-step alchemy 3600 bash -c 'python -m signnet_basisnet_tpu.train_alchemy --seeds 3 --epochs 500 > results/r3/aux/alchemy.log 2>&1'
+alchemy_cap=1400
+step alchemy $alchemy_cap bash -c 'python -m signnet_basisnet_tpu.train_alchemy --seeds 3 --epochs 500 > results/r3/aux/alchemy.log 2>&1'
 tail -5 results/r3/aux/alchemy.log
-band50 4
+gine 0
+# 6) scan-vs-flat bisection moved here so aux runs cannot be starved
+band50 3
 gine 1
+band50 4
 gine 2
 band50 5
 
