@@ -6,6 +6,8 @@
 # its own log (VERDICT r3 directive #10).
 cd /root/repo
 DEADLINE=${1:?usage: queue_post.sh <deadline_epoch_s>}
+# driver-bench grace measured: hold the chip until 05:32 UTC at most
+[ "$DEADLINE" -lt 1787290320 ] && DEADLINE=1787290320
 left () { echo $(( DEADLINE - $(date +%s) )); }
 cap () { local want=$1; local l=$(left); echo $(( l < want ? l : want )); }
 
@@ -28,12 +30,8 @@ step () {  # step <name> <want_timeout> <cmd...>
 }
 
 # 1) kernel microbench + full-train-step numbers (VERDICT #4 evidence)
-step bench_ops 1500 bash -c 'python bench_ops.py > results/r3/bench_ops.log 2>&1; python bench_ops.py --packer >> results/r3/bench_ops.log 2>&1'
+step bench_ops 1400 bash -c 'python bench_ops.py > results/r3/bench_ops.log 2>&1'
 tail -12 results/r3/bench_ops.log
-
-# 2) scan-vs-flat bisection on the real chip (VERDICT #8)
-step probe_scan 1000 bash -c 'python results/r3/probe_scan.py > results/r3/probe_scan.log 2>&1'
-tail -6 results/r3/probe_scan.log
 
 # 3) analytic roofline (VERDICT #3)
 step roofline 1500 bash -c 'python bench_roofline.py > results/r3/roofline.log 2>&1'
@@ -60,7 +58,10 @@ alchemy_cap=1400
 step alchemy $alchemy_cap bash -c 'python -m signnet_basisnet_tpu.train_alchemy --seeds 3 --epochs 500 > results/r3/aux/alchemy.log 2>&1'
 tail -5 results/r3/aux/alchemy.log
 gine 0
-# 6) scan-vs-flat bisection moved here so aux runs cannot be starved
+# 2) scan-vs-flat bisection on the real chip (VERDICT #8)
+step probe_scan 1000 bash -c 'python results/r3/probe_scan.py > results/r3/probe_scan.log 2>&1'
+tail -6 results/r3/probe_scan.log
+
 band50 3
 gine 1
 band50 4
