@@ -126,7 +126,13 @@ def bench_gatedgcn(F=68):
         t_x = timeit(xla, Bh, Dh, Eh, Ce)
         t_p = timeit(pal, Bh, Dh, Eh, Ce)
         ox, op_ = xla(Bh, Dh, Eh, Ce), pal(Bh, Dh, Eh, Ce)
-        err = max(float(jnp.abs(a - b).max()) for a, b in zip(ox, op_))
+        # compare VALID rows only: on padded edge rows the kernel writes
+        # zeros while the XLA reference computes sentinel-index garbage;
+        # both are masked out downstream (r3 bench_ops.log's 7.18 "error"
+        # was exactly this padding artifact — valid-row error is 0.0)
+        vm = ej > 0
+        err = max(float(jnp.abs(ox[0] - op_[0]).max()),
+                  float(jnp.abs((ox[1] - op_[1]) * vm[:, None]).max()))
         print(f"gate_xla:     {t_x * 1e6:8.1f} us  "
               f"({E / t_x / 1e6:.1f} Medges/s)")
         print(f"gate_pallas:  {t_p * 1e6:8.1f} us  "
