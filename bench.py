@@ -79,7 +79,7 @@ def bench_tpu_dense(seed=0, num_batches=4):
     for i in range(STEPS):
         state, m = train_step(state, gbs[i % len(gbs)], lr, rng)
         edges += edge_counts[i % len(gbs)]
-    jax.block_until_ready(m["loss"])
+    float(jax.device_get(m["loss"]))  # value fetch: honest barrier
     dt = time.perf_counter() - t0
     return edges / dt
 
@@ -115,14 +115,19 @@ def bench_tpu(batches):
 
     # best-of-3: the flat path dispatches each step from the host through
     # the TPU tunnel, so single measurements carry multi-10% dispatch-jitter
-    # (the r1->r2 "regression" 3.75 -> 2.53 M edges/s was exactly this)
+    # (the r1->r2 "regression" 3.75 -> 2.53 M edges/s was exactly this).
+    # Barrier = a data-dependent VALUE fetch of the final loss, NOT
+    # block_until_ready: results/r3/probe_timer.log proved the latter
+    # returns early through the axon tunnel at large batch (implying
+    # >chip-peak FLOP rates); a value fetch cannot return before the
+    # chained computation exists.
     edges = sum(edge_counts[i % len(gbs)] for i in range(STEPS))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for i in range(STEPS):
             state, m = train_step(state, gbs[i % len(gbs)], lr, rng)
-        jax.block_until_ready(m["loss"])
+        float(jax.device_get(m["loss"]))
         best = min(best, time.perf_counter() - t0)
     return edges / best
 
@@ -173,12 +178,12 @@ def bench_tpu_scan(batches, compute_dtype=None):
     idx = jnp.arange(STEPS, dtype=jnp.int32) % len(gbs)
     rng = jax.random.PRNGKey(0)
     state, losses = run_steps(state, idx, rng)          # compile + warmup
-    jax.block_until_ready(losses)
+    float(jax.device_get(losses.sum()))  # value fetch: honest barrier
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         state, losses = run_steps(state, idx, rng)
-        jax.block_until_ready(losses)
+        float(jax.device_get(losses.sum()))
         dt = min(dt, time.perf_counter() - t0)
     edges = sum(edge_counts[i % len(gbs)] for i in range(STEPS))
     return edges / dt
