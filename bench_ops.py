@@ -21,11 +21,15 @@ REPS = 50
 
 def timeit(fn, *args):
     out = fn(*args)
-    jax.block_until_ready(out)
+    jax.device_get(out)
     t0 = time.perf_counter()
     for _ in range(REPS):
         out = fn(*args)
-    jax.block_until_ready(out)
+    # data-dependent value fetch, NOT block_until_ready: the axon tunnel's
+    # block_until_ready can return before completion (probe_timer.log),
+    # inflating throughput.  The fetch adds one ~30ms round-trip,
+    # amortized over REPS.
+    jax.device_get(out)
     return (time.perf_counter() - t0) / REPS
 
 
@@ -208,14 +212,15 @@ def bench_train_steps():
                 st = state
                 for _ in range(5):
                     st, m = train_step(st, gb, lr, rng)
-                jax.block_until_ready(m["loss"])
+                float(jax.device_get(m["loss"]))
                 best = float("inf")
                 for _ in range(3):
                     t0 = time.perf_counter()
                     st2 = st
                     for _ in range(20):
                         st2, m = train_step(st2, gb, lr, rng)
-                    jax.block_until_ready(m["loss"])
+                    # honest barrier (see timeit note)
+                    float(jax.device_get(m["loss"]))
                     best = min(best, (time.perf_counter() - t0) / 20)
                 times[backend] = best
                 print(f"{name}_step_{backend}: {best * 1e6:9.1f} us  "
