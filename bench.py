@@ -23,15 +23,18 @@ K = 8
 SIGN_INV_LAYERS = 8
 
 
-def build_batches(num_batches=4, seed=0):
+TILE = 256  # tile-local layout: bn of the fused Pallas aggregation kernels
+
+
+def build_batches(num_batches=4, seed=0, tile=None):
     from signnet_basisnet_tpu.data import (add_lap_pe, choose_budgets,
                                            pack_batches, synthetic_zinc)
     splits = synthetic_zinc(num_train=BATCH_GRAPHS * num_batches,
                             num_val=8, num_test=8, seed=seed)
     train = splits["train"]
     add_lap_pe(train, K)
-    nb, eb, gb_ = choose_budgets(train, BATCH_GRAPHS)
-    batches = pack_batches(train, nb, eb, gb_, k=K)
+    nb, eb, gb_ = choose_budgets(train, BATCH_GRAPHS, tile=tile)
+    batches = pack_batches(train, nb, eb, gb_, k=K, tile=tile)
     return batches
 
 
@@ -132,12 +135,35 @@ def bench_tpu(batches):
     return edges / best
 
 
-def bench_tpu_scan(batches, compute_dtype=None):
+def bench_tpu_scan(batches, compute_dtype=None, agg_backend=None):
     """Same model/step, but the whole timed loop runs on-device as one
     lax.scan over steps (batches stacked on a leading axis, cycled by index):
     measures achievable device throughput with host dispatch amortized —
     the deployment shape for an input pipeline that stages batches ahead.
-    compute_dtype=bf16 = the MXU mixed-precision training mode."""
+    compute_dtype=bf16 = the MXU mixed-precision training mode.
+    agg_backend='pallas_tile' (requires batches built with tile=TILE) routes
+    every neighbor aggregation through the fused tile-local Pallas SpMM
+    (ops/pallas_spmm.spmm_tiled) — the backend that won the GatedGCN full
+    train step in r3 (results/r3/bench_ops.log), here applied to the
+    flagship GIN+SignNet step (VERDICT r3 directive #3)."""
+    import jax
+    import jax.numpy as jnp
+    from signnet_basisnet_tpu.graph import from_arrays
+    from signnet_basisnet_tpu.graph import segment as seg
+    from signnet_basisnet_tpu.models import GINNet
+    from signnet_basisnet_tpu.training import (adam, build_steps, create_state,
+                                               make_zinc_predict)
+
+    prev_backend = seg.get_agg_backend()
+    if agg_backend is not None:
+        seg.set_agg_backend(agg_backend)
+    try:
+        return _bench_tpu_scan_inner(batches, compute_dtype)
+    finally:
+        seg.set_agg_backend(prev_backend)
+
+
+def _bench_tpu_scan_inner(batches, compute_dtype):
     import jax
     import jax.numpy as jnp
     from signnet_basisnet_tpu.graph import from_arrays
@@ -276,9 +302,11 @@ def bench_torch_cpu(batches, steps=4):
 
 
 def main():
+    import jax.numpy as jnp
     from signnet_basisnet_tpu.graph import segment as seg
     batches = build_batches()
     mode = os.environ.get("BENCH_MODE", "auto")
+    chosen = mode
     if mode == "flat":
         tpu_eps = bench_tpu(batches)
     elif mode == "onehot":
@@ -289,29 +317,37 @@ def main():
     elif mode == "scan":
         tpu_eps = bench_tpu_scan(batches)
     elif mode == "bf16":
-        import jax.numpy as jnp
         tpu_eps = bench_tpu_scan(batches, compute_dtype=jnp.bfloat16)
+    elif mode == "tile":
+        tpu_eps = bench_tpu_scan(build_batches(tile=TILE),
+                                 agg_backend="pallas_tile")
+    elif mode == "tile_bf16":
+        tpu_eps = bench_tpu_scan(build_batches(tile=TILE),
+                                 compute_dtype=jnp.bfloat16,
+                                 agg_backend="pallas_tile")
     else:  # auto: report the fastest representation/backend
-        import jax.numpy as jnp
-        flat_eps = bench_tpu(batches)
-        try:
-            scan_eps = bench_tpu_scan(batches)
-        except Exception:
-            scan_eps = 0.0
-        seg.set_sum_backend("onehot")
-        try:
-            onehot_eps = bench_tpu_scan(batches)
-        except Exception:
-            onehot_eps = 0.0
-        seg.set_sum_backend("xla")
-        try:
-            bf16_eps = bench_tpu_scan(batches, compute_dtype=jnp.bfloat16)
-        except Exception:
-            bf16_eps = 0.0
-        tpu_eps = max(flat_eps, scan_eps, onehot_eps, bf16_eps)
-        print(f"# flat={flat_eps:.0f} scan={scan_eps:.0f} "
-              f"scan+onehot={onehot_eps:.0f} scan+bf16={bf16_eps:.0f} "
-              f"edges/s", file=sys.stderr)
+        tiled = build_batches(tile=TILE)
+        runs = {
+            "scan": lambda: bench_tpu_scan(batches),
+            "scan+bf16": lambda: bench_tpu_scan(batches,
+                                                compute_dtype=jnp.bfloat16),
+            "tile": lambda: bench_tpu_scan(tiled,
+                                           agg_backend="pallas_tile"),
+            "tile+bf16": lambda: bench_tpu_scan(tiled,
+                                                compute_dtype=jnp.bfloat16,
+                                                agg_backend="pallas_tile"),
+        }
+        eps = {}
+        for name, fn in runs.items():
+            try:
+                eps[name] = fn()
+            except Exception as err:
+                print(f"# {name} FAILED: {err}", file=sys.stderr)
+                eps[name] = 0.0
+        chosen = max(eps, key=eps.get)
+        tpu_eps = eps[chosen]
+        print("# " + " ".join(f"{k}={v:.0f}" for k, v in eps.items())
+              + " edges/s", file=sys.stderr)
     try:
         cpu_eps = bench_torch_cpu(batches)
     except Exception:
@@ -322,6 +358,9 @@ def main():
         "value": round(tpu_eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(vs, 3) if vs else None,
+        "mode": chosen,
+        "torch_cpu_baseline_eps": (round(cpu_eps, 1)
+                                   if cpu_eps == cpu_eps else None),
     }))
 
 

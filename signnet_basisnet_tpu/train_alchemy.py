@@ -11,6 +11,8 @@ nl_gnn 16, nl_rho 8 per lines 33-35).
 from __future__ import annotations
 
 import argparse
+import json
+import os
 import time
 
 import jax
@@ -20,8 +22,13 @@ from .data import (add_full_evd, choose_budgets, load_alchemy, pack_batches,
                    standardize_targets)
 from .graph import from_arrays
 from .models import SignNetGNN
-from .training import (adam, build_steps, count_params, create_state,
-                       evaluate, fit, make_module_predict)
+from .training import (Checkpointer, adam, build_steps, count_params,
+                       create_state, evaluate, fit, make_module_predict)
+
+
+def _seed_json(args, seed):
+    return (os.path.join(args.out_dir, f"alchemy_s{seed}.json")
+            if args.out_dir else None)
 
 
 def run(args, log=print):
@@ -42,7 +49,16 @@ def run(args, log=print):
     test_b = mk(splits["test"], False, 0)
 
     results = []
-    for seed in range(args.seeds):
+    for seed in range(args.seed0, args.seeds):
+        # queue robustness (tunnel hangs killed the whole r3 multi-seed
+        # process): completed seeds leave a results JSON, a retry skips them
+        sj = _seed_json(args, seed)
+        if sj and os.path.exists(sj):
+            with open(sj) as f:
+                d = json.load(f)
+            log(f"seed {seed}: already done (MAE {d['test_mae']:.4f}), skip")
+            results.append((d["test_mae"], d["logmae"]))
+            continue
         model = SignNetGNN(n_hid=args.hidden, n_out=12,
                            nl_signnet=args.nl_signnet, nl_gnn=args.nl_gnn,
                            nl_rho=args.nl_rho, gnn_type="GINEConv",
@@ -56,6 +72,8 @@ def run(args, log=print):
             log(f"params: {count_params(state.params)}")
         predict = make_module_predict(model)
         train_step, eval_step = build_steps(predict, tx)
+        ckpt = (Checkpointer(os.path.join(args.ckpt_dir, f"s{seed}"))
+                if args.ckpt_dir else None)
         res = fit(state, train_step, eval_step,
                   train_batches_fn=lambda ep: mk(splits["train"], True,
                                                  seed * 10000 + ep),
@@ -65,6 +83,7 @@ def run(args, log=print):
                   lr_reduce_factor=0.5, lr_schedule_patience=5,
                   min_lr=1e-6, max_time_hours=args.max_time_hours,
                   seed=seed, log_every=args.log_every, logger=log,
+                  checkpointer=ckpt, resume=args.resume,
                   best_val_test=True)
 
         # per-target MAE + logMAE on test, final state (reference:
@@ -90,9 +109,19 @@ def run(args, log=print):
             f"logMAE {logmae:.4f} (epochs {res.epochs_run})")
         log("  per-target MAE: "
             + " ".join(f"{v:.4f}" for v in mae_t))
+        if sj:
+            os.makedirs(args.out_dir, exist_ok=True)
+            with open(sj, "w") as f:
+                json.dump(dict(seed=seed, test_mae=float(res.test_mae),
+                               logmae=logmae,
+                               per_target_mae=[float(v) for v in mae_t],
+                               val_mae=float(res.val_mae),
+                               best_val_mae=float(res.best_val_mae),
+                               epochs=res.epochs_run,
+                               wall_time=res.wall_time), f, indent=2)
         results.append((res.test_mae, logmae))
     arr = np.array(results)
-    log(f"FINAL over {args.seeds} seeds: MAE {arr[:, 0].mean():.4f} "
+    log(f"FINAL over {len(results)} seeds: MAE {arr[:, 0].mean():.4f} "
         f"+- {arr[:, 0].std():.4f}; logMAE {arr[:, 1].mean():.4f}")
     return arr
 
@@ -117,6 +146,14 @@ def build_parser():
     ap.add_argument("--synth_eval", type=int, default=1000)
     ap.add_argument("--max_time_hours", type=float, default=12.0)
     ap.add_argument("--log_every", type=int, default=5)
+    ap.add_argument("--seed0", type=int, default=0,
+                    help="first seed (retries skip completed seeds)")
+    ap.add_argument("--out_dir", default=None,
+                    help="write per-seed results JSON here")
+    ap.add_argument("--ckpt_dir", default=None,
+                    help="per-seed checkpoint dirs under this root")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume each seed from its latest checkpoint")
     return ap
 
 

@@ -144,6 +144,13 @@ class FilterModel(nn.Module):
 
 
 def run(args, log=print):
+    blk = max(1, min(args.scan_epochs, args.epochs))
+    if args.epochs % blk != 0:
+        # the epoch loop always runs whole scan blocks; a non-divisible
+        # count would silently train up to blk-1 extra epochs (ADVICE r3)
+        raise ValueError(
+            f"--epochs ({args.epochs}) must be a multiple of "
+            f"--scan_epochs ({blk})")
     if getattr(args, "matmul_precision", None):
         # TPU f32 matmuls default to reduced-precision bf16 passes; the
         # reference trains true-f32 on CUDA.  'highest' restores parity

@@ -110,6 +110,15 @@ def _run(cfg, log=print):
                          model_kwargs={"pos_enc": val_batches[0].eigvecs})
     log(f"model: {cfg.model.model} params={count_params(state.params)}")
 
+    if cfg.train.eval_bn_mode == "batch" and (
+            cfg.model.dropout > 0 or cfg.model.in_feat_dropout > 0):
+        # batch-stats eval runs the forward with training=True, which would
+        # also enable dropout — only valid for dropout-free configs (all
+        # reference ZINC sign-inv configs are); fail fast instead of
+        # silently evaluating with dropout on (ADVICE r3)
+        raise ValueError(
+            "eval_bn_mode='batch' requires dropout=0 and in_feat_dropout=0 "
+            f"(got {cfg.model.dropout}, {cfg.model.in_feat_dropout})")
     use_lapeig = cfg.model.use_lapeig_loss and use_lspe
     import jax.numpy as jnp
     cdtype = (jnp.dtype(cfg.train.compute_dtype)
@@ -163,6 +172,8 @@ def _run(cfg, log=print):
         with open(os.path.join(cfg.out_dir, f"{cfg.name}_results.json"),
                   "w") as f:
             json.dump(dict(test_mae=result.test_mae, val_mae=result.val_mae,
+                           best_val_test_mae=result.best_val_test_mae,
+                           best_val_mae=result.best_val_mae,
                            epochs=result.epochs_run, config=cfg.to_dict(),
                            history=result.history), f, indent=2)
     return result

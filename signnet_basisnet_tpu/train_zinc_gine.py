@@ -12,6 +12,7 @@ StepLR schedule, distinct-eigenvalue data stats printed at startup
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import jax
@@ -21,8 +22,9 @@ from .data import add_full_evd, choose_budgets, load_zinc, pack_batches
 from .graph import from_arrays
 from .models import SignNetGNN
 from .spectral import round_eigvals
-from .training import (StepLR, adam, build_steps, count_params, create_state,
-                       evaluate, make_module_predict)
+from .training import (Checkpointer, StepLR, adam, build_steps, count_params,
+                       create_state, evaluate, make_module_predict)
+from .training.train import TrainState
 
 
 def distinct_eig_stats(graphs) -> float:
@@ -68,7 +70,28 @@ def run(args, log=print):
     rng = jax.random.PRNGKey(args.seed)
     import jax.numpy as jnp
     best_val, best_test = float("inf"), float("nan")
-    for epoch in range(args.epochs):
+    start_epoch = 0
+    ckpt = Checkpointer(args.ckpt_dir) if args.ckpt_dir else None
+    if args.resume and ckpt is not None and ckpt.latest_step() is not None:
+        last = ckpt.latest_step()
+        target = {"params": state.params, "batch_stats": state.batch_stats,
+                  "opt_state": state.opt_state,
+                  "best_val": np.zeros((), np.float32),
+                  "best_test": np.zeros((), np.float32)}
+        restored = ckpt.restore(target, last)
+        state = TrainState(params=restored["params"],
+                           batch_stats=restored["batch_stats"],
+                           opt_state=restored["opt_state"], step=state.step)
+        best_val = float(restored["best_val"])
+        best_test = float(restored["best_test"])
+        start_epoch = last + 1
+        # StepLR is a pure function of the epoch index; replay it
+        for _ in range(start_epoch):
+            sched.step()
+        rng = jax.random.fold_in(rng, start_epoch)
+        log(f"resumed from checkpoint epoch {last} "
+            f"(lr {sched.lr:.2e} best_val {best_val:.4f})")
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         # accumulate the epoch loss on device: a float() per batch is a
         # host round-trip through the TPU tunnel (~5s/epoch at ZINC batch
@@ -89,7 +112,21 @@ def run(args, log=print):
                 f"train {float(loss_sum) / max(n_batches, 1):.4f} "
                 f"val {val['mae']:.4f} "
                 f"best_test {best_test:.4f} ({time.time() - t0:.1f}s)")
+        if ckpt is not None:
+            ckpt.save(epoch, {"params": state.params,
+                              "batch_stats": state.batch_stats,
+                              "opt_state": state.opt_state,
+                              "best_val": np.asarray(best_val, np.float32),
+                              "best_test": np.asarray(best_test, np.float32)})
     log(f"FINAL: best_val {best_val:.4f} test-at-best-val {best_test:.4f}")
+    if args.out_dir:
+        import json
+        os.makedirs(args.out_dir, exist_ok=True)
+        with open(os.path.join(args.out_dir,
+                               f"zinc_gine_s{args.seed}.json"), "w") as f:
+            json.dump(dict(seed=args.seed, best_val=best_val,
+                           test_at_best_val=best_test,
+                           epochs=args.epochs), f, indent=2)
     return best_test
 
 
@@ -110,6 +147,9 @@ def build_parser():
     ap.add_argument("--synth_train", type=int, default=10000)
     ap.add_argument("--synth_eval", type=int, default=1000)
     ap.add_argument("--log_every", type=int, default=5)
+    ap.add_argument("--ckpt_dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--out_dir", default=None)
     return ap
 
 

@@ -213,11 +213,13 @@ class FitResult:
     val_mae: float
     epochs_run: int
     wall_time: float
-    # test MAE at the best-val epoch (always tracked when a test set is
-    # given): robust to late-training eval corruption — a BN dead channel
-    # revived by an off-distribution eval graph can blow up running-stats
-    # eval (RESULTS.md r3 val-spike post-mortem), and such an epoch is by
-    # construction never best-val
+    # metrics at the best-val-loss epoch (always tracked): robust to
+    # late-training eval corruption — a BN dead channel revived by an
+    # off-distribution eval graph can blow up running-stats eval
+    # (RESULTS.md r3 val-spike post-mortem), and such an epoch is by
+    # construction never best-val.  best_val_mae is the plain val MAE at
+    # that epoch (NOT the selection loss, which may carry auxiliary terms);
+    # best_val_test_mae is the test MAE there (needs a test set).
     best_val_mae: float = float("nan")
     best_val_test_mae: float = float("nan")
 
@@ -269,6 +271,7 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
     epochs_run = 0
     start_epoch = 0
     best_val = float("inf")
+    best_val_mae = float("nan")
     best_test = float("nan")
     log = logger or (lambda msg: print(msg, flush=True))
     if resume and checkpointer is not None:
@@ -314,10 +317,15 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
             else:
                 e1 = e2 = None
             val = evaluate(eval_step, state, val_batches_fn(), rng=e1)
-            if test_batches_fn is not None and val["loss"] <= best_val:
+            if val["loss"] <= best_val:
                 best_val = val["loss"]
-                best_test = evaluate(eval_step, state, test_batches_fn(),
-                                     rng=e2)["mae"]
+                # the selection criterion is val loss (may include auxiliary
+                # terms, e.g. LSPE lapeig); report the plain val MAE at that
+                # epoch so the FINAL_BEST_VAL log line is a true MAE
+                best_val_mae = val["mae"]
+                if test_batches_fn is not None:
+                    best_test = evaluate(eval_step, state, test_batches_fn(),
+                                         rng=e2)["mae"]
             lr_now = sched.step(val["loss"])
             epochs_run = epoch + 1
             rec = dict(epoch=epoch, lr=lr_now, train_loss=train_loss,
@@ -357,7 +365,7 @@ def fit(state, train_step, eval_step, train_batches_fn, val_batches_fn,
     return FitResult(state=state, history=history, test_mae=test_mae,
                      val_mae=val["mae"], epochs_run=epochs_run,
                      wall_time=time.time() - t0,
-                     best_val_mae=best_val, best_val_test_mae=best_test)
+                     best_val_mae=best_val_mae, best_val_test_mae=best_test)
 
 
 # ---------------------------------------------------------------------------

@@ -145,3 +145,63 @@ def test_neighbor_sum_pallas_tile_backend_interpret():
         seg.set_agg_backend("xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_signnet_gin_train_step_pallas_tile_matches_xla():
+    """VERDICT r4 directive #3 wiring check: the flagship GIN+SignNet train
+    step must produce the same loss/metrics and parameter update under the
+    pallas_tile aggregation backend as under plain XLA scatter, on a
+    tile-local batch (the bench.py 'tile' mode path, in interpret mode)."""
+    from signnet_basisnet_tpu.data import add_lap_pe
+    from signnet_basisnet_tpu.training import (adam, build_steps,
+                                               create_state,
+                                               make_zinc_predict)
+
+    rng = np.random.default_rng(7)
+    gs = graphs_set(rng, count=12)
+    for g in gs:
+        g["node_feat"] = g["node_feat"][:, 0]
+    add_lap_pe(gs, 4)
+    nb, eb, gcnt = choose_budgets(gs, len(gs), tile=16)
+    gb = from_arrays(pack_batches(gs, nb, eb, gcnt, k=4, tile=16)[0])
+
+    model = M.gnn_model("GIN", hidden_dim=8, out_dim=8, n_layers=2,
+                        pos_enc_dim=4, lap_method="sign_inv",
+                        sign_inv_layers=2, phi_out_dim=2,
+                        batch_norm=True, dropout=0.0)
+    tx = adam()
+    state = create_state(model, gb, tx, model_kwargs={"pos_enc": gb.eigvecs})
+    predict = make_zinc_predict(model, lap_method="sign_inv")
+    train_step, _ = build_steps(predict, tx, donate=False)
+
+    lr = jnp.float32(1e-3)
+    key = jax.random.PRNGKey(0)
+    _, m_x = train_step(state, gb, lr, key)
+
+    def loss_of(params, rngs_key):
+        rngs = {"dropout": rngs_key,
+                "sign_flip": jax.random.fold_in(rngs_key, 1)}
+        pred, _ = predict({"params": params,
+                           "batch_stats": state.batch_stats},
+                          gb, True, rngs, ["batch_stats"])
+        from signnet_basisnet_tpu.training.train import l1_graph_loss
+        return l1_graph_loss(pred, gb)
+
+    # the backend is read at TRACE time: a cached jit executable would
+    # silently keep using XLA — trace fresh functions for the tile path
+    gx = jax.jit(jax.grad(loss_of))(state.params, key)
+    seg.set_agg_backend("pallas_tile")
+    try:
+        train_step_p, _ = build_steps(predict, tx, donate=False)
+        with pltpu.force_tpu_interpret_mode():
+            _, m_p = train_step_p(state, gb, lr, key)
+            gp = jax.jit(jax.grad(loss_of))(state.params, key)
+    finally:
+        seg.set_agg_backend("xla")
+    np.testing.assert_allclose(float(m_x["loss"]), float(m_p["loss"]),
+                               rtol=1e-4)
+    # raw gradients agree (post-Adam updates are ill-conditioned to compare:
+    # m/sqrt(v) at step 1 amplifies fp noise on near-zero grads)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
