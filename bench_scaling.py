@@ -132,14 +132,62 @@ def main():
         print(f"gspmd     dp={dp}: {t * 1e3:8.1f} ms/step "
               f"({dp / t:.2f} microbatches/s)")
 
+    # --- model parallel: the SAME global batch partitioned over mp devices
+    # with per-layer neighbor-only halo exchange (parallel/mp_halo) — strong
+    # scaling of one train step (GatedGCNNet + SignNet phi, VERDICT r3 #6)
+    from signnet_basisnet_tpu.models import gnn_model
+    from signnet_basisnet_tpu.parallel import (build_mp_steps,
+                                               device_arrays_mp,
+                                               partition_batch_mp)
+    from signnet_basisnet_tpu.training import make_zinc_predict
+
+    net = gnn_model("GatedGCN", hidden_dim=32, out_dim=32, n_layers=8,
+                    pos_enc_dim=8, lap_method="sign_inv", sign_inv_layers=4,
+                    phi_out_dim=4, batch_norm=True, dropout=0.0)
+    arrays = make_global(4)                      # one fixed global batch
+    gb_full = jax.tree.map(jnp.asarray, from_arrays(arrays))
+    pz = make_zinc_predict(net, lap_method="sign_inv")
+    results["mp_halo"] = {}
+    for mp in (1, 2, 4, 8):
+        if mp > len(devices):
+            break
+        state = create_state(net, gb_full, tx,
+                             model_kwargs={"pos_enc": gb_full.eigvecs})
+        if mp == 1:
+            from signnet_basisnet_tpu.training import build_steps
+            ts, _ = build_steps(pz, tx, donate=False)
+            t = bench(lambda s, g: ts(s, g, jnp.float32(1e-3),
+                                      jax.random.PRNGKey(0)),
+                      state, gb_full)
+        else:
+            mesh = make_mesh(dp=1, mp=mp, devices=devices[:mp])
+            mp_train, _ = build_mp_steps(pz, tx, mesh)
+            parts = partition_batch_mp(arrays, mp)
+            arrs = jax.tree.map(jnp.asarray, device_arrays_mp(parts))
+            halo_frac = parts["halo"] * mp / (parts["shard_n"] * mp)
+            print(f"mp_halo mp={mp}: halo={parts['halo']} rows/pair "
+                  f"({halo_frac * 100:.1f}% of N)")
+            t = bench(lambda s, g: mp_train(s, g, jnp.float32(1e-3),
+                                            jax.random.PRNGKey(0)),
+                      state, arrs)
+        results["mp_halo"][mp] = t
+        print(f"mp_halo   mp={mp}: {t * 1e3:8.1f} ms/step (strong scaling, "
+              f"fixed global batch)")
+
     print("\nweak-scaling efficiency vs dp=1 (per-device throughput):")
     for scheme, r in results.items():
-        if 1 not in r:
+        if scheme == "mp_halo" or 1 not in r:
             continue
         base = r[1]
         row = "  ".join(f"dp={d}: {base / r[d] * 100:5.1f}%"
                         for d in sorted(r))
         print(f"{scheme:10s} {row}")
+    if 1 in results["mp_halo"]:
+        base = results["mp_halo"][1]
+        row = "  ".join(
+            f"mp={d}: {base / (r * d) * 100:5.1f}%"
+            for d, r in sorted(results["mp_halo"].items()))
+        print(f"mp_halo strong-scaling efficiency (speedup/mp): {row}")
 
 
 if __name__ == "__main__":

@@ -34,6 +34,10 @@ def neighbor_sum(x, gb):
     from ..graph.dense import DenseGraphBatch, dense_neighbor_sum
     if isinstance(gb, DenseGraphBatch):
         return dense_neighbor_sum(gb.adj, x)
+    if "mp_send_idx" in gb.extras:
+        # model-parallel shard: local segment-sum + halo-exchange remote part
+        from ..parallel.mp_halo import mp_neighbor_sum
+        return mp_neighbor_sum(x, gb)
     if (seg.get_agg_backend() == "pallas_tile"
             and "tile_starts" in gb.extras):
         from ..ops import spmm_tiled
@@ -53,6 +57,10 @@ def pool_any(gb, x, reduce="sum"):
     from ..graph.dense import DenseGraphBatch, dense_pool
     if isinstance(gb, DenseGraphBatch):
         return dense_pool(x, gb.node_mask, reduce=reduce)
+    if "mp_send_idx" in gb.extras:
+        # mp shard: graphs may straddle shards; combine partials over ICI
+        from ..parallel.mp_halo import mp_pool_nodes
+        return mp_pool_nodes(x, gb, reduce=reduce)
     return seg.pool_nodes(x, gb.graph_id, gb.num_graphs,
                           node_mask=gb.node_mask, reduce=reduce)
 
@@ -292,11 +300,24 @@ class GatedGCNLayer(nn.Module):
     @nn.compact
     def __call__(self, gb, h, e, snorm_n=None, training: bool = True):
         h_in, e_in = h, e
-        Ah = Linear(self.features, name="A")(h)
-        Bh = Linear(self.features, name="B")(h)
-        Ce = Linear(self.features, name="C")(e)
-        Dh = Linear(self.features, name="D")(h)
-        Eh = Linear(self.features, name="E")(h)
+        A = Linear(self.features, name="A")
+        B = Linear(self.features, name="B")
+        C = Linear(self.features, name="C")
+        D = Linear(self.features, name="D")
+        E = Linear(self.features, name="E")
+        Ah, Bh, Ce, Dh, Eh = A(h), B(h), C(e), D(h), E(h)
+
+        if "mp_send_idx" in gb.extras:
+            # model-parallel shard: one halo exchange of h per layer; the
+            # big local linears above have no dependency on it (XLA overlaps
+            # the all_to_all with them), then B/D are applied to the small
+            # received halo block and appended so the shared src-gather /
+            # gate / segment-sum code below works unchanged on augmented
+            # indices (senders >= shard_n point into the halo block)
+            from ..parallel.mp_halo import mp_exchange
+            halo_h = mp_exchange(h, gb.extras["mp_send_idx"])
+            Bh = jnp.concatenate([Bh, B(halo_h)], axis=0)
+            Dh = jnp.concatenate([Dh, D(halo_h)], axis=0)
 
         if (seg.get_agg_backend() == "pallas_tile"
                 and "tile_starts" in gb.extras):

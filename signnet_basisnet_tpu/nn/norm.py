@@ -45,9 +45,30 @@ class MaskedBatchNorm(nn.Module):
         else:
             m = None
 
+        # model-parallel shard: statistics must span ALL shards of the node
+        # (or edge) axis, not just the local one — psum the moment sums over
+        # the mp axis so every device normalizes with the global batch stats
+        # (exactly what the single-device step computes)
+        from ..parallel.mp_halo import get_mp_axis
+        mp_axis = get_mp_axis()
+
         use_batch_stats = training or not self.track_running_stats
         if use_batch_stats:
-            if m is None:
+            if mp_axis is not None:
+                import jax
+                if m is None:
+                    cnt = jnp.asarray(float(x2.shape[0]), x2.dtype)
+                    s1 = x2.sum(axis=0)
+                    s2 = (x2 ** 2).sum(axis=0)
+                else:
+                    cnt = m.sum()
+                    s1 = (x2 * m).sum(axis=0)
+                    s2 = ((x2 ** 2) * m).sum(axis=0)
+                cnt, s1, s2 = jax.lax.psum((cnt, s1, s2), mp_axis)
+                cnt = jnp.maximum(cnt, 1.0)
+                mean = s1 / cnt
+                var = jnp.maximum(s2 / cnt - mean ** 2, 0.0)
+            elif m is None:
                 cnt = jnp.asarray(x2.shape[0], x2.dtype)
                 mean = x2.mean(axis=0)
                 var = ((x2 - mean) ** 2).mean(axis=0)

@@ -1,0 +1,205 @@
+"""Model-parallel halo execution (parallel/mp_halo): partition correctness,
+neighbor-only exchange, and end-to-end train-step parity of a full net
+(GatedGCNNet + SignNet phi) running mp-sharded vs single-device.
+
+Runs on the virtual CPU mesh (conftest sets 8 devices).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from signnet_basisnet_tpu import spectral
+from signnet_basisnet_tpu.graph import batch_np, from_arrays
+from signnet_basisnet_tpu.models import gnn_model
+from signnet_basisnet_tpu.parallel import (build_mp_steps, device_arrays_mp,
+                                           make_mesh, partition_batch_mp)
+from signnet_basisnet_tpu.parallel.mp_halo import (mp_axis_ctx, mp_exchange,
+                                                   mp_neighbor_sum)
+from signnet_basisnet_tpu.training import (adam, build_steps, create_state,
+                                           make_zinc_predict)
+
+
+def _batch(num_graphs=12, num_nodes=96, num_edges=512, k=4, seed=0):
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for _ in range(num_graphs):
+        n = int(rng.integers(5, 9))
+        A = np.triu((rng.random((n, n)) < 0.6).astype(int), 1)
+        A = A + A.T
+        if A.sum() == 0:
+            A[0, 1] = A[1, 0] = 1
+        s, r = np.nonzero(A)
+        vals, vecs = spectral.full_evd_np(s, r, n)
+        graphs.append(dict(
+            senders=s, receivers=r,
+            node_feat=rng.integers(0, 28, n),
+            edge_feat=rng.integers(0, 4, len(s)),
+            y=np.array([float(rng.normal())], np.float32),
+            eigvals=vals, eigvecs=vecs))
+    return batch_np(graphs, num_nodes=num_nodes, num_edges=num_edges,
+                    num_graphs=num_graphs + 1, k=k)
+
+
+def test_partition_roundtrip_neighbor_sum():
+    """mp_neighbor_sum over the partition == plain segment-sum globally."""
+    arrays = _batch(seed=1)
+    mp = 4
+    parts = partition_batch_mp(arrays, mp)
+    mesh = make_mesh(dp=1, mp=mp, devices=jax.devices()[:mp])
+    N = arrays["node_mask"].shape[0]
+    d = 8
+    rng = np.random.default_rng(2)
+    x = (rng.normal(size=(N, d)).astype(np.float32)
+         * np.asarray(arrays["node_mask"])[:, None])
+    ref = jax.ops.segment_sum(
+        jnp.asarray(x)[jnp.asarray(arrays["senders"])]
+        * jnp.asarray(arrays["edge_mask"])[:, None],
+        jnp.asarray(arrays["receivers"]), num_segments=N)
+
+    from jax.sharding import PartitionSpec as P
+    from signnet_basisnet_tpu.graph.batch import GraphBatch
+
+    def worker(x_sh, senders, receivers, emask, send_idx):
+        with mp_axis_ctx("mp"):
+            gb = GraphBatch(
+                senders=senders[0], receivers=receivers[0],
+                graph_id=jnp.zeros(x_sh.shape[1], jnp.int32),
+                edge_graph_id=None,
+                n_node=jnp.zeros(1, jnp.int32), n_edge=jnp.zeros(1, jnp.int32),
+                node_mask=jnp.ones(x_sh.shape[1]), edge_mask=emask[0],
+                graph_mask=jnp.ones(1),
+                extras={"mp_send_idx": send_idx[0]})
+            return mp_neighbor_sum(x_sh[0], gb)[None]
+
+    f = jax.shard_map(worker, mesh=mesh,
+                      in_specs=(P("mp"),) * 5, out_specs=P("mp"),
+                      check_vma=False)
+    e = parts["edges"]
+    out = f(jnp.asarray(x).reshape(mp, -1, d),
+            jnp.asarray(e["senders"]), jnp.asarray(e["receivers"]),
+            jnp.asarray(e["edge_mask"]), jnp.asarray(parts["send_idx"]))
+    np.testing.assert_allclose(np.asarray(out).reshape(N, d),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_halo_traffic_is_boundary_only():
+    """The exchange buffer is sized by the true boundary, far below N."""
+    arrays = _batch(seed=3)
+    parts = partition_batch_mp(arrays, 4)
+    N = arrays["node_mask"].shape[0]
+    # per device per layer the halo moves mp*H rows vs all-gather's N
+    assert parts["halo"] * 4 < N
+    # every remapped remote index decodes to the node the edge names
+    e = parts["edges"]
+    send_idx = parts["send_idx"]
+    shard_n, H = parts["shard_n"], parts["halo"]
+    for d in range(4):
+        for j in range(e["senders"].shape[1]):
+            if e["edge_mask"][d, j] == 0:
+                continue
+            aug = int(e["senders"][d, j])
+            if aug < shard_n:
+                continue
+            o, slot = divmod(aug - shard_n, H)
+            assert int(send_idx[o, d, slot]) + o * shard_n >= 0
+
+
+@pytest.mark.parametrize("mp", [2, 4])
+def test_mp_train_step_matches_single_device(mp):
+    """Full GatedGCNNet + SignNet(GIN phi): one mp-sharded train step must
+    reproduce the single-device loss, metrics, BN stats and parameter
+    gradients (dropout 0)."""
+    arrays = _batch(seed=4)
+    model = gnn_model("GatedGCN", hidden_dim=12, out_dim=12, n_layers=3,
+                      pos_enc_dim=4, lap_method="sign_inv",
+                      sign_inv_layers=2, phi_out_dim=2,
+                      batch_norm=True, dropout=0.0, readout="mean")
+    gb = from_arrays(arrays)
+    tx = adam()
+    state = create_state(model, gb, tx,
+                         model_kwargs={"pos_enc": gb.eigvecs})
+    predict = make_zinc_predict(model, lap_method="sign_inv")
+    train_step, _ = build_steps(predict, tx, donate=False)
+    lr = jnp.float32(1e-3)
+    key = jax.random.PRNGKey(0)
+    st_ref, m_ref = train_step(state, gb, lr, key)
+
+    mesh = make_mesh(dp=1, mp=mp, devices=jax.devices()[:mp])
+    parts = partition_batch_mp(arrays, mp)
+    arrs = jax.tree.map(jnp.asarray, device_arrays_mp(parts))
+    mp_train, mp_eval = build_mp_steps(predict, tx, mesh)
+    # raw parameter gradients agree (post-Adam params are ill-conditioned
+    # to compare: exact-zero ref grads vs 1e-12 collective fp noise get
+    # normalized to full-size updates by m/sqrt(v) at step 1)
+    from jax.sharding import PartitionSpec as P
+    from signnet_basisnet_tpu.parallel.mp_halo import (_gb_of, _shard_specs)
+    from signnet_basisnet_tpu.training.train import l1_graph_loss
+    rngs = {"dropout": key, "sign_flip": jax.random.fold_in(key, 1)}
+
+    def loss_ref(params):
+        pred, _ = predict({"params": params,
+                           "batch_stats": state.batch_stats},
+                          gb, True, rngs, ["batch_stats"])
+        return l1_graph_loss(pred, gb)
+
+    def loss_mp(params):
+        def worker(params, bs, nodes, edges, send_idx, repl):
+            with mp_axis_ctx("mp"):
+                shard = {"nodes": jax.tree.map(lambda x: x[0], nodes),
+                         "edges": jax.tree.map(lambda x: x[0], edges),
+                         "send_idx": send_idx[0]}
+                gbl = _gb_of(shard, repl)
+                pred, _ = predict({"params": params, "batch_stats": bs},
+                                  gbl, True, rngs, ["batch_stats"])
+                return l1_graph_loss(pred, gbl)
+        sp = _shard_specs(arrs)
+        f = jax.shard_map(worker, mesh=mesh,
+                          in_specs=(P(), P(), sp["nodes"], sp["edges"],
+                                    sp["send_idx"], sp["repl"]),
+                          out_specs=P(), check_vma=False)
+        return f(params, state.batch_stats, arrs["nodes"], arrs["edges"],
+                 arrs["send_idx"], arrs["repl"])
+
+    g_ref = jax.jit(jax.grad(loss_ref))(state.params)
+    g_mp = jax.jit(jax.grad(loss_mp))(state.params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_mp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
+
+    # full train step last: it donates `state`
+    st_mp, m_mp = mp_train(state, arrs, lr, key)
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_mp["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_ref["mae"]), float(m_mp["mae"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_ref.batch_stats),
+                    jax.tree.leaves(st_mp.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    out = mp_eval(st_mp, arrs)
+    assert np.isfinite(float(out["mae_sum"]))
+
+
+def test_mp_exchange_identity():
+    """mp_exchange delivers exactly the owner rows the table names."""
+    mp, shard_n, H, d = 4, 8, 8, 3
+    mesh = make_mesh(dp=1, mp=mp, devices=jax.devices()[:mp])
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(mp * shard_n, d)).astype(np.float32)
+    send_idx = rng.integers(0, shard_n, size=(mp, mp, H)).astype(np.int32)
+
+    from jax.sharding import PartitionSpec as P
+
+    def worker(x_sh, si):
+        return mp_exchange(x_sh[0], si[0], axis="mp")[None]
+
+    f = jax.shard_map(worker, mesh=mesh, in_specs=(P("mp"), P("mp")),
+                      out_specs=P("mp"), check_vma=False)
+    out = np.asarray(f(jnp.asarray(x).reshape(mp, shard_n, d),
+                       jnp.asarray(send_idx)))
+    for dd in range(mp):
+        for o in range(mp):
+            expect = x.reshape(mp, shard_n, d)[o][send_idx[o, dd]]
+            got = out[dd].reshape(mp, H, d)[o]
+            np.testing.assert_allclose(got, expect)
