@@ -341,8 +341,9 @@ def build_mp_steps(predict, tx, mesh: Mesh, axis: str = "mp", loss_fn=None):
                                opt_state=new_opt, step=state.step + 1)
         return new_state, {"loss": loss, "mae": mae}
 
-    def eval_step(state, arrs):
-        loss, mae, _ = forward(state.params, state.batch_stats, arrs, None,
+    def eval_step(state, arrs, rng=None):
+        # optional rng mirrors build_steps' eval contract (sign_flip eval)
+        loss, mae, _ = forward(state.params, state.batch_stats, arrs, rng,
                                False)
         n = arrs["repl"]["graph_mask"].sum()
         return {"loss_sum": loss * n, "mae_sum": mae * n, "n": n}

@@ -68,10 +68,10 @@ def _run(cfg, log=print):
     # fixed K even for full-EVD mode: pos_enc_dim is set to the dataset's
     # max node count there (37 for ZINC), keeping every batch one shape
     k = cfg.model.pos_enc_dim
+    make_arrays = lambda graphs, shuffle, seed: pack_batches(
+        graphs, nb, eb, gb_cnt, shuffle=shuffle, seed=seed, k=k, tile=tile)
     make_batches = lambda graphs, shuffle, seed: [
-        from_arrays(a) for a in pack_batches(graphs, nb, eb, gb_cnt,
-                                             shuffle=shuffle, seed=seed, k=k,
-                                             tile=tile)]
+        from_arrays(a) for a in make_arrays(graphs, shuffle, seed)]
     val_batches = make_batches(splits["val"], False, 0)
     test_batches = make_batches(splits["test"], False, 0)
 
@@ -139,14 +139,46 @@ def _run(cfg, log=print):
     ckpt = (Checkpointer(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints)
             if cfg.train.checkpoint_dir else None)
 
-    result = fit(
-        state, train_step, eval_step,
+    if cfg.train.mp > 1:
+        # model-parallel training (parallel/mp_halo): nodes+edges sharded
+        # over an mp mesh axis, per-layer neighbor-only halo all_to_all,
+        # params replicated.  fit() is step-contract-agnostic, so only the
+        # batch representation and the step builders change.
+        if use_lapeig:
+            raise ValueError("train.mp > 1 does not support use_lapeig_loss")
+        from .parallel import (build_mp_steps, device_arrays_mp, make_mesh,
+                               partition_batch_mp)
+        from .parallel.mp_halo import mp_budgets
+        mp = cfg.train.mp
+        mesh_mp = make_mesh(dp=1, mp=mp, devices=jax.devices()[:mp])
+        probe = (make_arrays(splits["val"], False, 0)
+                 + make_arrays(splits["test"], False, 0)
+                 + make_arrays(splits["train"], True, cfg.train.seed))
+        e_sh, H = mp_budgets(probe, mp)
+        e_sh = -(-int(e_sh * 1.2) // 8) * 8    # headroom: shuffled epochs
+        H = -(-int(H * 2) // 8) * 8            # shift shard boundaries
+        log(f"mp={mp}: edge shard {e_sh}, halo {H} rows/pair "
+            f"(vs {nb} nodes — boundary-only exchange)")
+        part = lambda arrays: jax.tree.map(
+            jnp.asarray, device_arrays_mp(
+                partition_batch_mp(arrays, mp, e_shard=e_sh, halo=H)))
+        val_batches = [part(a) for a in make_arrays(splits["val"], False, 0)]
+        test_batches = [part(a)
+                        for a in make_arrays(splits["test"], False, 0)]
+        train_step, eval_step = build_mp_steps(predict, tx, mesh_mp)
+        train_fn = lambda ep: [part(a) for a in make_arrays(
+            splits["train"], True, cfg.train.seed + ep)]
+    else:
         # background-thread prefetch: packing + host->device transfer of the
         # next batches overlap device compute (the reference's DataLoader
         # workers, main_ZINC_graph_regression.py:165-167)
-        train_batches_fn=lambda ep: iterate_graphbatches(
+        train_fn = lambda ep: iterate_graphbatches(
             splits["train"], nb, eb, gb_cnt, shuffle=True,
-            seed=cfg.train.seed + ep, k=k, tile=tile, prefetch=4),
+            seed=cfg.train.seed + ep, k=k, tile=tile, prefetch=4)
+
+    result = fit(
+        state, train_step, eval_step,
+        train_batches_fn=train_fn,
         val_batches_fn=lambda: val_batches,
         test_batches_fn=lambda: test_batches,
         epochs=cfg.train.epochs, init_lr=cfg.train.init_lr,

@@ -28,6 +28,9 @@ class TrainConfig:
     max_time_hours: float = 12.0
     print_epoch_interval: int = 5
     num_microbatches: int = 1       # data-parallel microbatches per step
+    mp: int = 1                     # model-parallel shards (parallel/mp_halo):
+    #   nodes+edges partitioned over an mp mesh axis with per-layer
+    #   neighbor-only halo exchange; params replicated
     checkpoint_dir: Optional[str] = None
     keep_checkpoints: int = 2
     resume: bool = False            # restore latest checkpoint before fit
