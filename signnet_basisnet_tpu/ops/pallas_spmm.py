@@ -95,7 +95,9 @@ def _spmm_kernel(starts_ref, ends_ref, senders_ref, receivers_ref, w_ref,
             sl = slice(j * be, (j + 1) * be)
             src, dst = src_all[sl], dst_all[sl]
             valid = (offs_all[sl] >= start) & (offs_all[sl] < end)
-            w = w_all[sl] * valid.astype(x_ref.dtype)
+            # f32 weights: Mosaic can't minor-dim-reshape bf16 vectors, and
+            # the gather dot already accumulates in f32
+            w = w_all[sl].astype(jnp.float32) * valid.astype(jnp.float32)
 
             # gather: onehot(src) [be, N] @ x [N, D] on the MXU.
             # HIGHEST precision: the default TPU f32 emulation is single-pass
@@ -184,10 +186,14 @@ def _tile_adj(starts_ref, ends_ref, senders_ref, receivers_ref, w_ref,
             src = src_all[sl] - n_lo
             dst = dst_all[sl] - n_lo
             valid = (offs_all[sl] >= start) & (offs_all[sl] < end)
-            w = w_all[sl] * valid.astype(w_ref.dtype)
+            # adjacency build always in f32: the acc scratch is f32 anyway,
+            # the build is E*bn MACs (negligible vs the N*bn*D apply), and
+            # Mosaic cannot insert a minor dim (w[:, None]) on bf16 vectors
+            w = (w_all[sl].astype(jnp.float32)
+                 * valid.astype(jnp.float32))
             col = jax.lax.broadcasted_iota(jnp.int32, (be, bn), 1)
-            g_oh = (col == src[:, None]).astype(w_ref.dtype)
-            s_oh = (col == dst[:, None]).astype(w_ref.dtype) * w[:, None]
+            g_oh = (col == src[:, None]).astype(jnp.float32)
+            s_oh = (col == dst[:, None]).astype(jnp.float32) * w[:, None]
             a, b = (g_oh, s_oh) if transpose else (s_oh, g_oh)
             acc_ref[:] += jnp.dot(a.T, b,
                                   preferred_element_type=jnp.float32,
@@ -202,7 +208,10 @@ def _spmm_tile_kernel(starts_ref, ends_ref, senders_ref, receivers_ref,
                       transpose: bool):
     _tile_adj(starts_ref, ends_ref, senders_ref, receivers_ref, w_ref,
               acc_ref, be=be, bn=bn, transpose=transpose)
-    out_ref[:] = jnp.dot(acc_ref[:], x_ref[:],
+    # the apply matmul runs in the feature dtype (bf16 inputs stay on the
+    # bf16 MXU path; adjacency entries are edge weights/masks, bf16-exact
+    # for the mask case); f32 accumulation via preferred_element_type
+    out_ref[:] = jnp.dot(acc_ref[:].astype(x_ref.dtype), x_ref[:],
                          preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST
                          ).astype(out_ref.dtype)
