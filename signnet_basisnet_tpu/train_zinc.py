@@ -60,7 +60,14 @@ def _run(cfg, log=print):
 
     if cfg.data.agg_backend != "xla":
         from .graph import segment as seg
-        seg.set_agg_backend(cfg.data.agg_backend)
+        if jax.default_backend() == "cpu":
+            # Pallas kernels need a TPU (or interpret mode); numerics are
+            # backend-equivalent (tests/test_tiled_spmm.py), so CPU smoke
+            # runs of chip-tuned configs silently use the XLA lowering
+            log(f"agg_backend={cfg.data.agg_backend} requested but backend "
+                f"is cpu: using xla aggregation (numerics identical)")
+        else:
+            seg.set_agg_backend(cfg.data.agg_backend)
     tile = cfg.data.tile
     nb, eb, gb_cnt = choose_budgets(splits["train"], cfg.train.batch_size,
                                     slack=cfg.data.batch_slack,
