@@ -210,11 +210,14 @@ def _spmm_tile_kernel(starts_ref, ends_ref, senders_ref, receivers_ref,
               acc_ref, be=be, bn=bn, transpose=transpose)
     # the apply matmul runs in the feature dtype (bf16 inputs stay on the
     # bf16 MXU path; adjacency entries are edge weights/masks, bf16-exact
-    # for the mask case); f32 accumulation via preferred_element_type
+    # for the mask case); f32 accumulation via preferred_element_type.
+    # HIGHEST (3-pass f32 emulation) is only meaningful — and only
+    # accepted by Mosaic — for f32 operands; bf16 uses the native pass.
+    prec = (jax.lax.Precision.HIGHEST if x_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     out_ref[:] = jnp.dot(acc_ref[:].astype(x_ref.dtype), x_ref[:],
                          preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST
-                         ).astype(out_ref.dtype)
+                         precision=prec).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,

@@ -161,9 +161,36 @@ def run(args, log=print):
     return _run(args, log)
 
 
+def _rotate_within_eigenspaces(V, w, rot_seed: int):
+    """Apply a random orthogonal rotation inside every repeated eigenspace.
+
+    The eigenvector basis of a repeated eigenvalue is arbitrary (LAPACK
+    returns SOME orthonormal basis; 96.9% of the 2D grid's eigenvectors
+    live in repeated spaces) and the reference shipped neither its basis
+    realization nor a seed — per-image trainability is a joint property
+    of (basis draw, init draw) (RESULTS.md r2 #3).  This re-draws the
+    basis without changing the spectral content."""
+    V = np.asarray(V, np.float64).copy()
+    rng = np.random.default_rng(rot_seed)
+    rounded = np.round(np.asarray(w), 5)
+    uniq, inv = np.unique(rounded, return_inverse=True)
+    for gi in range(len(uniq)):
+        cols = np.where(inv == gi)[0]
+        if len(cols) > 1:
+            Q, _ = np.linalg.qr(rng.normal(size=(len(cols), len(cols))))
+            V[:, cols] = V[:, cols] @ Q
+    return V.astype(np.float32)
+
+
 def _run(args, log=print):
     data = load_twodgrid(args.mat_path)
     n = data["n"]
+    if args.basis_rot_seed >= 0:
+        data = dict(data)
+        data["eigvecs"] = _rotate_within_eigenspaces(
+            data["eigvecs"], data["eigvals"], args.basis_rot_seed)
+        log(f"eigvec basis re-drawn within eigenspaces "
+            f"(rot_seed {args.basis_rot_seed})")
     y_all = filter_labels(data, args.filter_type, cache_dir=args.label_dir)
     gb = from_arrays(batch_np(
         [dict(senders=data["senders"], receivers=data["receivers"],
@@ -414,6 +441,11 @@ def build_parser():
                          "'highest' = f32 parity with the CUDA reference")
     ap.add_argument("--k", type=int, default=0,
                     help="use only first k eigvecs (0 = all)")
+    ap.add_argument("--basis_rot_seed", type=int, default=-1,
+                    help=">=0: random orthogonal re-draw of the eigvec "
+                         "basis inside repeated eigenspaces (the LAPACK "
+                         "basis is arbitrary; reference pinned neither "
+                         "basis nor seed)")
     ap.add_argument("--mat_path", default="data/2dgrid/2Dgrid.mat")
     ap.add_argument("--label_dir", default="data/2dgrid")
     ap.add_argument("--results_dir", default="results")
