@@ -105,3 +105,28 @@ def test_canonical_sign_consistency():
     a = np.asarray(sp.canonical_sign(jnp.asarray(V)))
     b = np.asarray(sp.canonical_sign(jnp.asarray(flipped)))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_basis_rotation_preserves_spectral_content():
+    """train_filters --basis_rot_seed re-draws the eigenbasis inside each
+    repeated eigenspace: V' must stay orthonormal and reproduce the same
+    spectral projector V diag(f(w)) V^T for any filter f."""
+    from signnet_basisnet_tpu.train_filters import _rotate_within_eigenspaces
+
+    rng = np.random.default_rng(0)
+    # symmetric matrix with REPEATED eigenvalues: block diag of scaled
+    # identities conjugated by a random orthogonal
+    d = 12
+    vals = np.array([0.0] * 3 + [1.0] * 4 + [2.5] * 5)
+    Q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    V = Q
+    Vr = _rotate_within_eigenspaces(V, vals, rot_seed=7)
+    # still orthonormal
+    np.testing.assert_allclose(Vr.T @ Vr, np.eye(d), atol=1e-5)
+    # same filtered operator for an arbitrary filter of the eigenvalues
+    f = np.exp(-vals)
+    A = (V * f) @ V.T
+    Ar = (Vr * f) @ Vr.T
+    np.testing.assert_allclose(Ar, A, atol=1e-5)
+    # and it actually changed the basis inside repeated spaces
+    assert np.abs(Vr - V.astype(np.float32)).max() > 1e-3
