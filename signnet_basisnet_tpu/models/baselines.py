@@ -21,7 +21,8 @@ class GINEBondConv(nn.Module):
     def __call__(self, gb, x, edge_attr, training: bool = True):
         e = nn.relu(Linear(self.features, name="bond_1")(edge_attr))
         e = Linear(self.features, name="bond_2")(e)
-        msg = nn.relu(x[gb.senders] + e)
+        from .conv import src_features
+        msg = nn.relu(src_features(x, gb)[gb.senders] + e)
         agg = seg.aggregate_edges(msg, gb.receivers, gb.num_nodes,
                                   edge_mask=gb.edge_mask)
         eps = self.param("eps", nn.initializers.zeros, ())

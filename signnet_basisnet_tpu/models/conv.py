@@ -52,6 +52,23 @@ def neighbor_sum(x, gb):
                                edge_mask=gb.edge_mask)
 
 
+def src_features(x, gb):
+    """Rows of ``x`` addressable by ``gb.senders``.
+
+    Plain batch: ``x`` itself.  Model-parallel shard (``mp_send_idx`` in
+    extras): ``[x ‖ halo rows]`` — senders >= shard_n are augmented indices
+    into the halo block received from peer devices, so one `all_to_all` per
+    call makes every gather-based layer (GAT/PNA/GCN/GINE/attention) exact
+    under the mp partition.  The exchange has no dependency on this layer's
+    local compute, so XLA overlaps it (same contract as mp_neighbor_sum).
+    """
+    if "mp_send_idx" in gb.extras:
+        from ..parallel.mp_halo import mp_exchange
+        return jnp.concatenate(
+            [x, mp_exchange(x, gb.extras["mp_send_idx"])], axis=0)
+    return x
+
+
 def pool_any(gb, x, reduce="sum"):
     """Per-graph pooling for either batch representation."""
     from ..graph.dense import DenseGraphBatch, dense_pool
@@ -117,7 +134,7 @@ class GINEConv(nn.Module):
             msg = nn.relu(x[:, None, :, :] + edge_attr)
             agg = jnp.einsum("gmn,gmnd->gmd", gb.adj, msg)
         else:
-            msg = nn.relu(x[gb.senders] + edge_attr)
+            msg = nn.relu(src_features(x, gb)[gb.senders] + edge_attr)
             agg = seg.aggregate_edges(msg, gb.receivers, gb.num_nodes,
                                       edge_mask=gb.edge_mask)
         eps = (self.param("eps", nn.initializers.zeros, ())
@@ -168,7 +185,7 @@ class MaskedGINEConv(nn.Module):
                 msg = nn.relu(x[:, None, :, :] + edge_attr)
                 agg = jnp.einsum("gmn,gmnd->gmd", gb.adj, msg)
         else:
-            src = x[gb.senders]
+            src = src_features(x, gb)[gb.senders]
             e = edge_attr
             if src.ndim == e.ndim + 1:
                 e = e[:, None, :]
@@ -209,7 +226,7 @@ class GCNConv(nn.Module):
             deg = deg + gb.node_mask
         d_inv_sqrt = jnp.where(deg > 0, deg ** -0.5, 0.0)
         h = Linear(self.features, name="weight")(x)
-        msg = (h * d_inv_sqrt[:, None])[gb.senders]
+        msg = src_features(h * d_inv_sqrt[:, None], gb)[gb.senders]
         agg = seg.aggregate_edges(msg, gb.receivers, gb.num_nodes,
                                   edge_mask=gb.edge_mask)
         if self.add_self_loops:
@@ -247,7 +264,9 @@ class GATConv(nn.Module):
         er = (h * a_dst).sum(-1)
 
         senders, receivers, emask = gb.senders, gb.receivers, gb.edge_mask
-        scores = el[senders] + er[receivers]                  # [E, ..., H]
+        h_src = src_features(h, gb)      # mp: [shard_n + mp*H halo, ..., H, F]
+        el_src = (h_src * a_src).sum(-1)
+        scores = el_src[senders] + er[receivers]              # [E, ..., H]
         scores = nn.leaky_relu(scores, negative_slope=self.negative_slope)
 
         def bmask(ref):
@@ -265,13 +284,13 @@ class GATConv(nn.Module):
             ex_self = jnp.exp(self_scores - m)
             denom = seg.segment_sum(ex, receivers, gb.num_nodes) + ex_self
             alpha = ex / jnp.maximum(denom, 1e-16)[receivers]
-            agg = seg.segment_sum(alpha[..., None] * h[senders], receivers,
+            agg = seg.segment_sum(alpha[..., None] * h_src[senders], receivers,
                                   gb.num_nodes)
             agg = agg + (ex_self / jnp.maximum(denom, 1e-16))[..., None] * h
         else:
             alpha = seg.segment_softmax(scores, receivers, gb.num_nodes,
                                         mask=emask)
-            agg = seg.segment_sum(alpha[..., None] * h[senders] *
+            agg = seg.segment_sum(alpha[..., None] * h_src[senders] *
                                   bmask(scores)[..., None], receivers,
                                   gb.num_nodes)
         bias = self.param("bias", nn.initializers.zeros,
@@ -389,14 +408,16 @@ class GatedGCNLSPELayer(nn.Module):
         C1p = Linear(self.features, name="C1")(p)
         C2p = Linear(self.features, name="C2")(p)
 
-        e_new = B1h[gb.receivers] + B2h[gb.senders] + B3e
+        e_new = B1h[gb.receivers] + src_features(B2h, gb)[gb.senders] + B3e
         eta = nn.sigmoid(e_new) * gb.edge_mask[:, None]
         sum_eta = seg.segment_sum(eta, gb.receivers, gb.num_nodes) + 1e-6
 
-        h_new = A1hp + seg.segment_sum(eta * A2hp[gb.senders], gb.receivers,
-                                       gb.num_nodes) / sum_eta
-        p_new = C1p + seg.segment_sum(eta * C2p[gb.senders], gb.receivers,
-                                      gb.num_nodes) / sum_eta
+        h_new = A1hp + seg.segment_sum(
+            eta * src_features(A2hp, gb)[gb.senders], gb.receivers,
+            gb.num_nodes) / sum_eta
+        p_new = C1p + seg.segment_sum(
+            eta * src_features(C2p, gb)[gb.senders], gb.receivers,
+            gb.num_nodes) / sum_eta
 
         if self.batch_norm:
             h_new = MaskedBatchNorm(self.features, name="bn_h")(
@@ -498,10 +519,12 @@ class PNATower(nn.Module):
     @nn.compact
     def __call__(self, gb, h, e, snorm_n=None, training: bool = True):
         in_dim = h.shape[-1]
+        h_src = src_features(h, gb)
         if self.edge_features:
-            z = jnp.concatenate([h[gb.senders], h[gb.receivers], e], axis=-1)
+            z = jnp.concatenate([h_src[gb.senders], h[gb.receivers], e],
+                                axis=-1)
         else:
-            z = jnp.concatenate([h[gb.senders], h[gb.receivers]], axis=-1)
+            z = jnp.concatenate([h_src[gb.senders], h[gb.receivers]], axis=-1)
         msg = MLP(hidden=in_dim, out=in_dim, num_layers=self.pretrans_layers,
                   activation="relu", dropout=0.0, name="pretrans")(
                       z, training=training)
@@ -590,13 +613,15 @@ class PNANoTowersLayer(nn.Module):
         in_dim = h.shape[-1]
         h = nn.Dropout(self.dropout, deterministic=not training)(h)
         h_in = h
+        h_src = src_features(h, gb)
         if self.edge_features:
-            z = jnp.concatenate([h[gb.senders], h[gb.receivers], e], axis=-1)
+            z = jnp.concatenate([h_src[gb.senders], h[gb.receivers], e],
+                                axis=-1)
             msg = MLP(hidden=in_dim, out=in_dim,
                       num_layers=self.pretrans_layers, activation="relu",
                       name="pretrans_h")(z, training=training)
         else:
-            msg = h[gb.senders]
+            msg = h_src[gb.senders]
         aggs, deg = pna_aggregate(msg, gb, self.aggregators)
         hcat = jnp.concatenate(aggs, axis=-1)
         if len(self.scalers) > 1:
@@ -630,10 +655,12 @@ class SimplifiedPNAConv(nn.Module):
     def __call__(self, gb, x, edge_attr=None, training: bool = True):
         from ..nn.init import Embedding
         nin = x.shape[-1]
+        x_src = src_features(x, gb)
         if edge_attr is not None:
-            z = jnp.concatenate([x[gb.receivers], x[gb.senders], edge_attr], -1)
+            z = jnp.concatenate([x[gb.receivers], x_src[gb.senders],
+                                 edge_attr], -1)
         else:
-            z = jnp.concatenate([x[gb.receivers], x[gb.senders]], -1)
+            z = jnp.concatenate([x[gb.receivers], x_src[gb.senders]], -1)
         msg = ElementsMLP(nin, num_layers=2, with_final_activation=False,
                           name="pre_nn")(z, training=training)
         aggs, _ = pna_aggregate(msg, gb, self.aggregators)
@@ -663,11 +690,28 @@ class GraphTransformerAttention(nn.Module):
         H, D = self.num_heads, self.out_dim
         N = gb.num_nodes
 
+        mods = {}
+
         def proj(name, v):
-            return Linear(H * D, use_bias=self.use_bias, name=name)(v)\
-                .reshape(-1, H, D)
+            if name not in mods:
+                mods[name] = Linear(H * D, use_bias=self.use_bias, name=name)
+            return mods[name](v).reshape(-1, H, D)
 
         Qh, Kh, Vh = proj("Q", h), proj("K", h), proj("V", h)
+
+        halo_h = None
+        if "mp_send_idx" in gb.extras:
+            # model-parallel shard: ship boundary h rows once, project them
+            # through the same K/V (and K_2) maps, and append so the sender
+            # gathers below read augmented indices (>= shard_n -> halo
+            # block).  The softmax needs no collective: edges are
+            # dst-partitioned, so every in-edge of a local node is local;
+            # the partitioner's halo covers fake full-graph edges too since
+            # it is built from the actual edge list.  (mp_halo.py design.)
+            from ..parallel.mp_halo import mp_exchange
+            halo_h = mp_exchange(h, gb.extras["mp_send_idx"])
+            Kh = jnp.concatenate([Kh, proj("K", halo_h)], axis=0)
+            Vh = jnp.concatenate([Vh, proj("V", halo_h)], axis=0)
 
         # Fused Pallas path: SDDMM + clamped-exp segment softmax + SpMM in
         # one kernel (ops/pallas_attention), available for tile-local batches
@@ -689,6 +733,8 @@ class GraphTransformerAttention(nn.Module):
             E1 = proj("E", e)
             if self.full_graph:
                 Q2, K2, E2 = proj("Q_2", h), proj("K_2", h), proj("E_2", e)
+                if halo_h is not None:
+                    K2 = jnp.concatenate([K2, proj("K_2", halo_h)], axis=0)
                 real = gb.extras["edge_real"][:, None, None]
                 score2 = K2[gb.senders] * Q2[gb.receivers] / math.sqrt(D)
                 score = jnp.where(real > 0, score * E1, score2 * E2)

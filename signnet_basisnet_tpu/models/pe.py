@@ -39,14 +39,19 @@ def canonical(gb, pos_enc, exact: bool = False):
     behavior bit-for-bit; the default keeps a pure +-1 sign choice (the
     documented deviation, see PARITY.md)."""
     nm = gb.node_mask[:, None]
-    pos_count = seg.pool_nodes((pos_enc >= 0).astype(jnp.float32) * nm,
-                               gb.graph_id, gb.num_graphs)
-    neg_count = seg.pool_nodes((pos_enc < 0).astype(jnp.float32) * nm,
-                               gb.graph_id, gb.num_graphs)
-    nonneg_mass = seg.pool_nodes(jnp.where(pos_enc >= 0, pos_enc, 0.0) * nm,
-                                 gb.graph_id, gb.num_graphs)
-    neg_mass = seg.pool_nodes(jnp.where(pos_enc < 0, -pos_enc, 0.0) * nm,
-                              gb.graph_id, gb.num_graphs)
+
+    def _pool(v):
+        part = seg.pool_nodes(v, gb.graph_id, gb.num_graphs)
+        if "mp_send_idx" in gb.extras:
+            # mp shard: graphs may straddle shards; combine partial counts
+            from ..parallel.mp_halo import get_mp_axis
+            part = jax.lax.psum(part, get_mp_axis())
+        return part
+
+    pos_count = _pool((pos_enc >= 0).astype(jnp.float32) * nm)
+    neg_count = _pool((pos_enc < 0).astype(jnp.float32) * nm)
+    nonneg_mass = _pool(jnp.where(pos_enc >= 0, pos_enc, 0.0) * nm)
+    neg_mass = _pool(jnp.where(pos_enc < 0, -pos_enc, 0.0) * nm)
     flip = ((pos_count < neg_count).astype(jnp.float32)
             + (nonneg_mass < neg_mass).astype(jnp.float32))
     if exact:

@@ -71,7 +71,7 @@ def mp_axis_ctx(name: str):
 # ---------------------------------------------------------------------------
 
 _NODE_KEYS = ("node_feat", "node_mask", "graph_id", "eigvecs", "eig_mask")
-_EDGE_KEYS = ("edge_feat", "edge_graph_id")
+_EDGE_KEYS = ("edge_feat", "edge_graph_id", "edge_real", "k_rw")
 _REPL_KEYS = ("n_node", "n_edge", "graph_mask", "y", "eigvals")
 
 
@@ -257,6 +257,10 @@ def mp_pool_nodes(x, gb, reduce: str = "sum"):
 def _gb_of(shard, repl):
     from ..graph.batch import GraphBatch
     nodes, edges, send_idx = shard["nodes"], shard["edges"], shard["send_idx"]
+    extras = {"mp_send_idx": send_idx}
+    for key in ("edge_real", "k_rw"):
+        if key in edges:
+            extras[key] = edges[key]
     return GraphBatch(
         senders=edges["senders"], receivers=edges["receivers"],
         graph_id=nodes["graph_id"], edge_graph_id=edges.get("edge_graph_id"),
@@ -266,7 +270,7 @@ def _gb_of(shard, repl):
         edge_feat=edges.get("edge_feat"), y=repl.get("y"),
         eigvecs=nodes.get("eigvecs"), eigvals=repl.get("eigvals"),
         eig_mask=nodes.get("eig_mask"),
-        extras={"mp_send_idx": send_idx},
+        extras=extras,
     )
 
 
