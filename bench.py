@@ -325,6 +325,13 @@ def main():
         tpu_eps = bench_tpu_scan(build_batches(tile=TILE),
                                  compute_dtype=jnp.bfloat16,
                                  agg_backend="pallas_tile")
+    elif mode == "tile_dense":
+        tpu_eps = bench_tpu_scan(build_batches(tile=TILE),
+                                 agg_backend="tile_dense")
+    elif mode == "tile_dense_bf16":
+        tpu_eps = bench_tpu_scan(build_batches(tile=TILE),
+                                 compute_dtype=jnp.bfloat16,
+                                 agg_backend="tile_dense")
     else:  # auto: report the fastest representation/backend
         tiled = build_batches(tile=TILE)
         runs = {
@@ -336,6 +343,11 @@ def main():
             "tile+bf16": lambda: bench_tpu_scan(tiled,
                                                 compute_dtype=jnp.bfloat16,
                                                 agg_backend="pallas_tile"),
+            "tile_dense": lambda: bench_tpu_scan(tiled,
+                                                 agg_backend="tile_dense"),
+            "tile_dense+bf16": lambda: bench_tpu_scan(
+                tiled, compute_dtype=jnp.bfloat16,
+                agg_backend="tile_dense"),
         }
         eps = {}
         for name, fn in runs.items():

@@ -67,6 +67,7 @@ def report(trace_dir):
         meta = plane.event_metadata
         by_op = defaultdict(lambda: [0.0, 0])
         line_names = []
+        import re
         for line in plane.lines:
             line_names.append(line.name)
             if line.name not in ("XLA Ops",):
@@ -74,8 +75,15 @@ def report(trace_dir):
             for ev in line.events:
                 m = meta.get(ev.metadata_id)
                 name = (m.display_name or m.name) if m else str(ev.metadata_id)
-                by_op[name][0] += ev.duration_ps / 1e6  # -> us
-                by_op[name][1] += 1
+                # `while`/`call`/`conditional` events CONTAIN their body ops
+                # (the same line carries the nested leaves) — excluding them
+                # keeps the table leaf-only and the total un-double-counted
+                if re.match(r"(while|call|conditional|body|condition)[.\d]*$",
+                            name.split("/")[-1]):
+                    continue
+                base = re.sub(r"\.\d+$", "", name)   # group fusion.123 etc.
+                by_op[base][0] += ev.duration_ps / 1e6  # -> us
+                by_op[base][1] += 1
         if not by_op:
             # fall back: aggregate every line
             for line in plane.lines:

@@ -40,14 +40,18 @@ def get_sum_backend() -> str:
 
 
 # Backend for neighbor aggregation (models/conv.neighbor_sum): 'xla'
-# (gather + sorted scatter-add) or 'pallas_tile' (tile-local fused SpMM —
-# requires batches packed with tile=bn, ops/pallas_spmm.spmm_tiled).
+# (gather + sorted scatter-add), 'pallas_tile' (tile-local fused SpMM —
+# requires batches packed with tile=bn, ops/pallas_spmm.spmm_tiled), or
+# 'tile_dense' (same tile-local layout, block adjacency built once per
+# batch + batched MXU matmul per layer, ops/tile_dense — the r5 default
+# for the flagship step: the trace showed per-layer adjacency rebuilds at
+# ~60% of step time).
 _AGG_BACKEND = "xla"
 
 
 def set_agg_backend(name: str) -> None:
     global _AGG_BACKEND
-    if name not in ("xla", "pallas_tile"):
+    if name not in ("xla", "pallas_tile", "tile_dense"):
         raise ValueError(name)
     _AGG_BACKEND = name
 

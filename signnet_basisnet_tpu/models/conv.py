@@ -38,6 +38,14 @@ def neighbor_sum(x, gb):
         # model-parallel shard: local segment-sum + halo-exchange remote part
         from ..parallel.mp_halo import mp_neighbor_sum
         return mp_neighbor_sum(x, gb)
+    if (seg.get_agg_backend() == "tile_dense"
+            and "tile_starts" in gb.extras):
+        from ..ops import spmm_tile_dense
+        bn = gb.num_nodes // gb.extras["tile_starts"].shape[0]
+        flat = x.reshape(x.shape[0], -1)
+        out = spmm_tile_dense(flat, gb.senders, gb.receivers, gb.edge_mask,
+                              gb.num_nodes, bn)
+        return out.reshape(x.shape)
     if (seg.get_agg_backend() == "pallas_tile"
             and "tile_starts" in gb.extras):
         from ..ops import spmm_tiled
@@ -715,9 +723,14 @@ class GraphTransformerAttention(nn.Module):
 
         # Fused Pallas path: SDDMM + clamped-exp segment softmax + SpMM in
         # one kernel (ops/pallas_attention), available for tile-local batches
-        # on the sparse (non-full-graph) path.
-        if (seg.get_agg_backend() == "pallas_tile"
-                and "tile_starts" in gb.extras and not self.full_graph):
+        # on the sparse (non-full-graph) path.  Engaged under tile_dense too:
+        # attention weights are per-edge-per-head so the once-built block
+        # adjacency doesn't apply, and the fused kernel wins 2.38x at net
+        # level (results/r4/bench_ops.log).
+        import jax
+        if (seg.get_agg_backend() in ("pallas_tile", "tile_dense")
+                and "tile_starts" in gb.extras and not self.full_graph
+                and jax.default_backend() != "cpu"):
             from ..ops import edge_softmax_attention_tiled
             E1 = proj("E", e) if self.use_edge else jnp.ones(
                 (gb.senders.shape[0], H, D), Qh.dtype)

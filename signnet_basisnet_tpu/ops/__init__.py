@@ -4,3 +4,4 @@ from .pallas_spmm import (spmm_pallas, spmm_reference, spmm_tiled,
 from .pallas_attention import (edge_softmax_attention_reference,
                                edge_softmax_attention_tiled)
 from .pallas_gatedgcn import gatedgcn_gate_reference, gatedgcn_gate_tiled
+from .tile_dense import spmm_tile_dense, tile_block_adj

@@ -1,0 +1,65 @@
+"""Tile-dense aggregation: build the block adjacency ONCE per batch, apply
+it with batched MXU matmuls every layer.
+
+The r5 profiler trace (results/r5/trace_tile_bf16/op_table.md) showed the
+tile-local Pallas SpMM at 59-62% of flagship-step device time: 47 kernel
+calls per train step (24 forward + transposed backward), each REBUILDING
+the same per-tile adjacency from the edge list.  The adjacency depends
+only on (senders, receivers, edge_mask) — identical across every layer and
+the backward pass — so this backend lifts the build out of the layers:
+
+- `tile_block_adj`: one XLA scatter-add of E edge weights into a
+  [T, bn, bn] dense block-diagonal adjacency.  Being a pure function of
+  batch arrays, XLA CSE merges the per-layer copies into ONE instance per
+  compiled step (verified: one scatter in the optimized HLO).
+- `spmm_tile_dense`: aggregation = `einsum('tij,tjd->tid')` — a batched
+  [bn, bn] @ [bn, D] matmul on the MXU, zero gather/scatter, and the
+  backward is just the transposed batched matmul XLA derives itself (no
+  custom VJP needed).
+
+Same tile-locality contract as ops/pallas_spmm.spmm_tiled: batches packed
+with `batch_np(tile=bn)` so both endpoints of every edge live in one
+bn-sized node tile (the packer guarantees it; edges violating it are
+dropped by the clip+mask, matching the Pallas kernel's behavior).
+
+This replaces the per-layer DGL/PyG SpMM launches of the reference
+(GraphPrediction/layers/gatedgcn_layer.py:49-54 pattern) with the
+TPU-native form: static shapes, dense MXU work, compiler-scheduled.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes", "bn", "dtype"))
+def tile_block_adj(senders, receivers, edge_mask, num_nodes: int, bn: int,
+                   dtype=jnp.float32):
+    """[T, bn, bn] block adjacency: A[t, i, j] = sum of edge weights with
+    dst = t*bn + i and src = t*bn + j.  One scatter-add over E edges."""
+    col = senders - (receivers // bn) * bn
+    ok = ((col >= 0) & (col < bn)).astype(edge_mask.dtype)
+    w = (edge_mask * ok).astype(dtype)
+    adj = jnp.zeros((num_nodes, bn), dtype)
+    adj = adj.at[receivers, jnp.clip(col, 0, bn - 1)].add(
+        w, indices_are_sorted=False, unique_indices=False)
+    return adj.reshape(num_nodes // bn, bn, bn)
+
+
+def spmm_tile_dense(x, senders, receivers, weights, num_nodes: int, bn: int):
+    """out[n] = sum_{e: dst_e = n} w_e * x[src_e] via the once-built block
+    adjacency.  x: [N, D]; returns [N, D].  Differentiable in x through the
+    einsum (weights are batch constants here)."""
+    adj = tile_block_adj(senders, receivers, weights, num_nodes, bn,
+                         dtype=x.dtype)
+    xt = x.reshape(num_nodes // bn, bn, -1)
+    # f32 parity with the XLA segment-sum backend needs true f32 MACs
+    # (TPU default f32 emulation is single-pass bf16); bf16 inputs use the
+    # native MXU pass with f32 accumulation
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    out = jnp.einsum("tij,tjd->tid", adj, xt, precision=prec,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(num_nodes, -1).astype(x.dtype)

@@ -60,7 +60,10 @@ def _run(cfg, log=print):
 
     if cfg.data.agg_backend != "xla":
         from .graph import segment as seg
-        if jax.default_backend() == "cpu":
+        if cfg.data.agg_backend == "tile_dense":
+            # pure-XLA backend: works on every platform
+            seg.set_agg_backend("tile_dense")
+        elif jax.default_backend() == "cpu":
             # Pallas kernels need a TPU (or interpret mode); numerics are
             # backend-equivalent (tests/test_tiled_spmm.py), so CPU smoke
             # runs of chip-tuned configs silently use the XLA lowering

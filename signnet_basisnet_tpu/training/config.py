@@ -97,7 +97,7 @@ class DataConfig:
     batch_align: int = 8
     batch_slack: float = 1.10
     tile: Optional[int] = None      # tile-local packing (batch_np(tile=bn))
-    agg_backend: str = "xla"        # xla | pallas_tile (graph.segment)
+    agg_backend: str = "xla"        # xla | pallas_tile | tile_dense (graph.segment)
 
 
 @dataclass

@@ -205,3 +205,79 @@ def test_signnet_gin_train_step_pallas_tile_matches_xla():
     for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-5)
+
+
+def test_spmm_tile_dense_matches_reference():
+    """tile_dense (r5): block adjacency built once + batched matmul must
+    reproduce the reference segment-sum, values and x-gradients."""
+    rng = np.random.default_rng(8)
+    x, s, r, w, starts, ends, n, bn, e = _tiled_problem(rng)
+    out = ops.spmm_tile_dense(x, s, r, w, n, bn)
+    ref = ops.spmm_reference(x, s, r, w, n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss_td(x):
+        return (ops.spmm_tile_dense(x, s, r, w, n, bn) ** 2).sum()
+
+    def loss_ref(x):
+        return (ops.spmm_reference(x, s, r, w, n) ** 2).sum()
+
+    gx = jax.grad(loss_td)(x)
+    rx = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_signnet_gin_train_step_tile_dense_matches_xla():
+    """The flagship GIN+SignNet train step under the tile_dense backend
+    must match plain XLA scatter aggregation (loss + parameter grads) —
+    pure-XLA backend, runs natively on CPU."""
+    from signnet_basisnet_tpu.data import add_lap_pe
+    from signnet_basisnet_tpu.training import (adam, build_steps,
+                                               create_state,
+                                               make_zinc_predict)
+
+    rng = np.random.default_rng(9)
+    gs = graphs_set(rng, count=12)
+    for g in gs:
+        g["node_feat"] = g["node_feat"][:, 0]
+    add_lap_pe(gs, 4)
+    nb, eb, gcnt = choose_budgets(gs, len(gs), tile=16)
+    gb = from_arrays(pack_batches(gs, nb, eb, gcnt, k=4, tile=16)[0])
+
+    model = M.gnn_model("GIN", hidden_dim=8, out_dim=8, n_layers=2,
+                        pos_enc_dim=4, lap_method="sign_inv",
+                        sign_inv_layers=2, phi_out_dim=2,
+                        batch_norm=True, dropout=0.0)
+    tx = adam()
+    state = create_state(model, gb, tx, model_kwargs={"pos_enc": gb.eigvecs})
+    predict = make_zinc_predict(model, lap_method="sign_inv")
+    train_step, _ = build_steps(predict, tx, donate=False)
+
+    lr = jnp.float32(1e-3)
+    key = jax.random.PRNGKey(0)
+    _, m_x = train_step(state, gb, lr, key)
+
+    def loss_of(params, rngs_key):
+        rngs = {"dropout": rngs_key,
+                "sign_flip": jax.random.fold_in(rngs_key, 1)}
+        pred, _ = predict({"params": params,
+                           "batch_stats": state.batch_stats},
+                          gb, True, rngs, ["batch_stats"])
+        from signnet_basisnet_tpu.training.train import l1_graph_loss
+        return l1_graph_loss(pred, gb)
+
+    gx = jax.jit(jax.grad(loss_of))(state.params, key)
+    seg.set_agg_backend("tile_dense")
+    try:
+        train_step_d, _ = build_steps(predict, tx, donate=False)
+        _, m_d = train_step_d(state, gb, lr, key)
+        gd = jax.jit(jax.grad(loss_of))(state.params, key)
+    finally:
+        seg.set_agg_backend("xla")
+    np.testing.assert_allclose(float(m_x["loss"]), float(m_d["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
