@@ -42,10 +42,8 @@ def neighbor_sum(x, gb):
             and "tile_starts" in gb.extras):
         from ..ops import spmm_tile_dense
         bn = gb.num_nodes // gb.extras["tile_starts"].shape[0]
-        flat = x.reshape(x.shape[0], -1)
-        out = spmm_tile_dense(flat, gb.senders, gb.receivers, gb.edge_mask,
-                              gb.num_nodes, bn)
-        return out.reshape(x.shape)
+        return spmm_tile_dense(x, gb.senders, gb.receivers, gb.edge_mask,
+                               gb.num_nodes, bn)
     if (seg.get_agg_backend() == "pallas_tile"
             and "tile_starts" in gb.extras):
         from ..ops import spmm_tiled

@@ -50,16 +50,18 @@ def tile_block_adj(senders, receivers, edge_mask, num_nodes: int, bn: int,
 
 def spmm_tile_dense(x, senders, receivers, weights, num_nodes: int, bn: int):
     """out[n] = sum_{e: dst_e = n} w_e * x[src_e] via the once-built block
-    adjacency.  x: [N, D]; returns [N, D].  Differentiable in x through the
-    einsum (weights are batch constants here)."""
+    adjacency.  x: [N, ...] with any trailing dims (the phi stack's
+    [N, K, D] rides through unflattened — no minor-axis merge copies);
+    returns the same shape.  Differentiable in x through the einsum
+    (weights are batch constants here)."""
     adj = tile_block_adj(senders, receivers, weights, num_nodes, bn,
                          dtype=x.dtype)
-    xt = x.reshape(num_nodes // bn, bn, -1)
+    xt = x.reshape((num_nodes // bn, bn) + x.shape[1:])
     # f32 parity with the XLA segment-sum backend needs true f32 MACs
     # (TPU default f32 emulation is single-pass bf16); bf16 inputs use the
     # native MXU pass with f32 accumulation
     prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    out = jnp.einsum("tij,tjd->tid", adj, xt, precision=prec,
+    out = jnp.einsum("tij,tj...->ti...", adj, xt, precision=prec,
                      preferred_element_type=jnp.float32)
-    return out.reshape(num_nodes, -1).astype(x.dtype)
+    return out.reshape(x.shape).astype(x.dtype)
