@@ -61,6 +61,15 @@ run_net() {
   echo "--- $name rc=$? $(date -u +%H:%M:%S): $(tail -1 "$log")"
 }
 
+# --- 0. interlude C: tile_dense re-bench + mp=1 halo overhead probe ---
+if [ ! -f results/r5/interlude_c.log ] || \
+   ! grep -q INTERLUDE_C_DONE results/r5/interlude_c.log; then
+  echo "=== interlude_c $(date -u +%H:%M:%S) ==="
+  launch $(clamp_tmo 2400) results/r5/interlude_c.log \
+    python results/r5/interlude_c.py
+  echo "--- interlude_c rc=$? $(date -u +%H:%M:%S)"
+fi
+
 # --- 1. band50 seeds 6-10 ---
 for s in 6 7 8 9 10; do
   log=results/r5/band50/band50_signnet_tf_s${s}.log
