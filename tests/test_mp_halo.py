@@ -218,3 +218,84 @@ def test_mp_exchange_identity():
             expect = x.reshape(mp, shard_n, d)[o][send_idx[o, dd]]
             got = out[dd].reshape(mp, H, d)[o]
             np.testing.assert_allclose(got, expect)
+
+
+def test_mp_full_graph_transformer_matches_single_device():
+    """Full-graph attention under mp: the partitioner's halo is built from
+    the actual edge list (fake edges included) and K_2 projects halo rows,
+    so the gamma-mix TransformerNet must be grad-exact at mp=2."""
+    from signnet_basisnet_tpu.data.transforms import make_full_graph
+    from signnet_basisnet_tpu.training.train import l1_graph_loss
+    from signnet_basisnet_tpu.parallel.mp_halo import _gb_of, _shard_specs
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.default_rng(11)
+    graphs = []
+    for _ in range(8):
+        n = int(rng.integers(5, 9))
+        A = np.triu((rng.random((n, n)) < 0.6).astype(int), 1)
+        A = A + A.T
+        if A.sum() == 0:
+            A[0, 1] = A[1, 0] = 1
+        s, r = np.nonzero(A)
+        vals, vecs = spectral.full_evd_np(s, r, n)
+        graphs.append(make_full_graph(dict(
+            senders=s, receivers=r,
+            node_feat=rng.integers(0, 28, n),
+            edge_feat=rng.integers(0, 4, len(s)),
+            y=np.array([float(rng.normal())], np.float32),
+            eigvals=vals, eigvecs=vecs)))
+    arrays = batch_np(graphs, num_nodes=64, num_edges=1024,
+                      num_graphs=9, k=4)
+    assert "edge_real" in arrays and arrays["edge_real"] is not None
+
+    mp = 2
+    model = gnn_model("Transformer", hidden_dim=12, out_dim=12, n_layers=2,
+                      num_heads=2, full_graph=True, edge_feat=True,
+                      pos_enc_dim=4, lap_method="sign_inv",
+                      sign_inv_layers=2, phi_out_dim=2,
+                      batch_norm=True, dropout=0.0, readout="mean")
+    gb = from_arrays(arrays)
+    tx = adam()
+    state = create_state(model, gb, tx, model_kwargs={"pos_enc": gb.eigvecs})
+    predict = make_zinc_predict(model, lap_method="sign_inv")
+    key = jax.random.PRNGKey(0)
+    rngs = {"dropout": key, "sign_flip": jax.random.fold_in(key, 1)}
+
+    def loss_ref(params):
+        pred, _ = predict({"params": params,
+                           "batch_stats": state.batch_stats},
+                          gb, True, rngs, ["batch_stats"])
+        return l1_graph_loss(pred, gb)
+
+    mesh = make_mesh(dp=1, mp=mp, devices=jax.devices()[:mp])
+    parts = partition_batch_mp(arrays, mp)
+    assert "edge_real" in parts["edges"]
+    arrs = jax.tree.map(jnp.asarray, device_arrays_mp(parts))
+
+    def loss_mp(params):
+        def worker(params, bs, nodes, edges, send_idx, repl):
+            with mp_axis_ctx("mp"):
+                shard = {"nodes": jax.tree.map(lambda x: x[0], nodes),
+                         "edges": jax.tree.map(lambda x: x[0], edges),
+                         "send_idx": send_idx[0]}
+                gbl = _gb_of(shard, repl)
+                pred, _ = predict({"params": params, "batch_stats": bs},
+                                  gbl, True, rngs, ["batch_stats"])
+                return l1_graph_loss(pred, gbl)
+        sp = _shard_specs(arrs)
+        f = jax.shard_map(worker, mesh=mesh,
+                          in_specs=(P(), P(), sp["nodes"], sp["edges"],
+                                    sp["send_idx"], sp["repl"]),
+                          out_specs=P(), check_vma=False)
+        return f(params, state.batch_stats, arrs["nodes"], arrs["edges"],
+                 arrs["send_idx"], arrs["repl"])
+
+    l_ref = float(jax.jit(loss_ref)(state.params))
+    l_mp = float(jax.jit(loss_mp)(state.params))
+    np.testing.assert_allclose(l_ref, l_mp, rtol=1e-5)
+    g_ref = jax.jit(jax.grad(loss_ref))(state.params)
+    g_mp = jax.jit(jax.grad(loss_mp))(state.params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_mp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
