@@ -101,15 +101,14 @@ class GNN(nn.Module):
                 x = x + prev
                 prev = x
 
+        from .conv import pool_any
         if self.pooling == "mean":
-            hg = seg.pool_nodes(x, gb.graph_id, gb.num_graphs,
-                                node_mask=gb.node_mask, reduce="mean")
+            hg = pool_any(gb, x, reduce="mean")
             if self.use_size_embedder:
                 hg = hg + Embedding(200, self.nhid, name="size_embedder")(
                     jnp.clip(gb.n_node, 0, 199))
         else:
-            hg = seg.pool_nodes(x, gb.graph_id, gb.num_graphs,
-                                node_mask=gb.node_mask, reduce="sum")
+            hg = pool_any(gb, x, reduce="sum")
         if self.dos_bins > 0:
             hg = hg + ElementsMLP(self.nhid, num_layers=2,
                                   with_final_activation=False,

@@ -51,15 +51,16 @@ def lapeig_loss(gb, p):
 
 def normalize_p(gb, p):
     """LSPE positional post-processing: center per graph, then divide by the
-    per-graph column L2 norm (reference: gin_net.py:105-120)."""
-    means = seg.pool_nodes(p, gb.graph_id, gb.num_graphs,
-                           node_mask=gb.node_mask, reduce="mean")
+    per-graph column L2 norm (reference: gin_net.py:105-120).  Pooling goes
+    through pool_any so per-graph statistics are psum-combined when the
+    batch is mp-sharded (graphs may straddle shard boundaries)."""
+    from .conv import pool_any
+    means = pool_any(gb, p, reduce="mean")
     p = (p - means[gb.graph_id]) * gb.node_mask[:, None]
     # eps inside the sqrt: padding graphs have all-zero p and d/dp sqrt(0)
     # is NaN, which would poison the whole gradient
-    norms = jnp.sqrt(seg.pool_nodes(p ** 2, gb.graph_id, gb.num_graphs,
-                                    node_mask=gb.node_mask, reduce="sum")
-                     + 1e-12)
+    norms = jnp.sqrt(pool_any(gb, p ** 2 * gb.node_mask[:, None],
+                              reduce="sum") + 1e-12)
     return p / norms[gb.graph_id]
 
 
