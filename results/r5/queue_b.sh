@@ -89,6 +89,11 @@ done
 run_net gatedgcn_zinc_rwpe_lspe 41 5400
 run_net gin_zinc_rwpe_lspe      41 5400
 
+# --- 2b. tile_dense curve-validation seed: flagship GIN s41 under the new
+#         default backend, to lay against the r3 xla s41 curve (the r4
+#         standard: defaults flip only with a protocol curve validation) ---
+run_net gin_zinc_signinv_gin 41 4500
+
 # --- 3. Alchemy seeds 3-4 (reference loops 5 seeds, we have 0-2) ---
 for attempt in 1 2; do
   for s in 3 4; do
