@@ -299,3 +299,55 @@ def test_mp_full_graph_transformer_matches_single_device():
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_mp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-5)
+
+
+def test_mp_canonical_pe_matches_single_device():
+    """lap_method='canonical' computes per-graph sign statistics; under mp
+    the partial counts must be psum-combined (models/pe.canonical)."""
+    from signnet_basisnet_tpu.training.train import l1_graph_loss
+    from signnet_basisnet_tpu.parallel.mp_halo import _gb_of, _shard_specs
+    from jax.sharding import PartitionSpec as P
+
+    arrays = _batch(seed=6)
+    mp = 2
+    model = gnn_model("GatedGCN", hidden_dim=12, out_dim=12, n_layers=2,
+                      pos_enc_dim=4, lap_method="canonical",
+                      batch_norm=True, dropout=0.0, readout="mean")
+    gb = from_arrays(arrays)
+    tx = adam()
+    state = create_state(model, gb, tx, model_kwargs={"pos_enc": gb.eigvecs})
+    predict = make_zinc_predict(model, lap_method="canonical")
+    key = jax.random.PRNGKey(0)
+    rngs = {"dropout": key, "sign_flip": jax.random.fold_in(key, 1)}
+
+    def loss_ref(params):
+        pred, _ = predict({"params": params,
+                           "batch_stats": state.batch_stats},
+                          gb, True, rngs, ["batch_stats"])
+        return l1_graph_loss(pred, gb)
+
+    mesh = make_mesh(dp=1, mp=mp, devices=jax.devices()[:mp])
+    parts = partition_batch_mp(arrays, mp)
+    arrs = jax.tree.map(jnp.asarray, device_arrays_mp(parts))
+
+    def loss_mp(params):
+        def worker(params, bs, nodes, edges, send_idx, repl):
+            with mp_axis_ctx("mp"):
+                shard = {"nodes": jax.tree.map(lambda x: x[0], nodes),
+                         "edges": jax.tree.map(lambda x: x[0], edges),
+                         "send_idx": send_idx[0]}
+                gbl = _gb_of(shard, repl)
+                pred, _ = predict({"params": params, "batch_stats": bs},
+                                  gbl, True, rngs, ["batch_stats"])
+                return l1_graph_loss(pred, gbl)
+        sp = _shard_specs(arrs)
+        f = jax.shard_map(worker, mesh=mesh,
+                          in_specs=(P(), P(), sp["nodes"], sp["edges"],
+                                    sp["send_idx"], sp["repl"]),
+                          out_specs=P(), check_vma=False)
+        return f(params, state.batch_stats, arrs["nodes"], arrs["edges"],
+                 arrs["send_idx"], arrs["repl"])
+
+    np.testing.assert_allclose(float(jax.jit(loss_ref)(state.params)),
+                               float(jax.jit(loss_mp)(state.params)),
+                               rtol=1e-5)

@@ -281,3 +281,18 @@ def test_signnet_gin_train_step_tile_dense_matches_xla():
     for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gd)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-5)
+
+
+def test_tile_block_adj_drops_nonlocal_edges():
+    """Edges violating tile-locality are dropped (same contract as the
+    Pallas kernel: the layout is the batcher's responsibility)."""
+    import jax.numpy as jnp
+    bn, n = 8, 16
+    senders = np.array([0, 1, 9, 2], np.int32)     # edge 2: src tile 1
+    receivers = np.array([1, 2, 3, 10], np.int32)  # edge 3: dst tile 1, src tile 0
+    w = np.ones(4, np.float32)
+    adj = np.asarray(ops.tile_block_adj(
+        jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(w), n, bn))
+    assert adj.shape == (2, bn, bn)
+    assert adj[0, 1, 0] == 1 and adj[0, 2, 1] == 1   # local edges kept
+    assert adj.sum() == 2                             # cross-tile edges dropped
