@@ -13,7 +13,7 @@ mkdir -p results/r5/zinc results/r5/band50 results/r5/alchemy
 exec > >(tee -a results/r5/queue_b.out) 2>&1
 echo "QUEUE_R5B_START $(date -u +%H:%M:%S)"
 
-DEADLINE=$(date -u -d "2026-08-21 23:05" +%s)
+DEADLINE=$(date -u -d "2026-08-21 23:25" +%s)
 
 # wait for phase A (detection only — never kill by pattern)
 while pgrep -f "results/r5/queue_a.sh" >/dev/null; do sleep 60; done
@@ -70,7 +70,16 @@ if [ ! -f results/r5/interlude_c.log ] || \
   echo "--- interlude_c rc=$? $(date -u +%H:%M:%S)"
 fi
 
-# --- 1. band50 seeds 6-10 ---
+# --- 1. LSPE configs (feature completeness first) ---
+run_net gatedgcn_zinc_rwpe_lspe 41 5400
+run_net gin_zinc_rwpe_lspe      41 5400
+
+# --- 2b. tile_dense curve-validation seed: flagship GIN s41 under the new
+#         default backend, to lay against the r3 xla s41 curve (the r4
+#         standard: defaults flip only with a protocol curve validation) ---
+run_net gin_zinc_signinv_gin 41 4500
+
+# --- 2. band50 seeds 6-10 ---
 for s in 6 7 8 9 10; do
   log=results/r5/band50/band50_signnet_tf_s${s}.log
   grep -q "RESULT" "$log" 2>/dev/null && continue
@@ -84,15 +93,6 @@ for s in 6 7 8 9 10; do
       --results_dir results/r5/band50
   echo "--- band50_tf s$s rc=$? $(date -u +%H:%M:%S): $(tail -1 "$log")"
 done
-
-# --- 2. LSPE configs ---
-run_net gatedgcn_zinc_rwpe_lspe 41 5400
-run_net gin_zinc_rwpe_lspe      41 5400
-
-# --- 2b. tile_dense curve-validation seed: flagship GIN s41 under the new
-#         default backend, to lay against the r3 xla s41 curve (the r4
-#         standard: defaults flip only with a protocol curve validation) ---
-run_net gin_zinc_signinv_gin 41 4500
 
 # --- 3. Alchemy seeds 3-4 (reference loops 5 seeds, we have 0-2) ---
 for attempt in 1 2; do
